@@ -1,0 +1,66 @@
+"""Linear-code encoding interface (reference: LcEncoding trait,
+lcpc-2d/src/lib.rs:75-105).
+
+Encodings operate on whole batches of rows at once (the TPU-native version
+of the reference's per-row rayon encode loop).
+
+Domain-separation labels: the reference's def_labels! macro has a literal
+bug (lcpc-2d/src/macros.rs:29-36) — the identifier is never interpolated,
+so every encoding shares the byte labels b"$l//DT" etc.  We reproduce that
+exactly, since transcript bit-compatibility depends on it.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import jax.numpy as jnp
+
+from ..fields.field import FieldSpec
+
+LABEL_DT = b"$l//DT"
+LABEL_PR = b"$l//PR"
+LABEL_PE = b"$l//PE"
+LABEL_CO = b"$l//CO"
+
+
+def ceil_log2(v: int) -> int:
+    """Reference log2 (lcpc-2d/src/lib.rs:857): log2 of next power of two."""
+    if v <= 1:
+        return 0
+    return (v - 1).bit_length()
+
+
+def n_degree_tests(lam: int, length: int, flog2: int) -> int:
+    """lcpc-2d/src/lib.rs:642-645."""
+    den = flog2 - ceil_log2(length)
+    return (lam + den - 1) // den
+
+
+def next_power_of_two(v: int) -> int:
+    return 1 if v <= 1 else 1 << (v - 1).bit_length()
+
+
+class LcEncoding(abc.ABC):
+    """A linear code usable by the 2d polynomial commitment engine."""
+
+    spec: FieldSpec
+
+    @abc.abstractmethod
+    def encode(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """Encode rows: (batch, n_cols, L) with coefficients in the first
+        n_per_row positions and zeros after -> (batch, n_cols, L) codewords.
+        (In-place buffer semantics of the reference's encode.)"""
+
+    @abc.abstractmethod
+    def get_dims(self, length: int) -> tuple[int, int, int]:
+        """(n_rows, n_per_row, n_cols) for a coefficient vector length."""
+
+    @abc.abstractmethod
+    def dims_ok(self, n_per_row: int, n_cols: int) -> bool: ...
+
+    @abc.abstractmethod
+    def get_n_col_opens(self) -> int: ...
+
+    @abc.abstractmethod
+    def get_n_degree_tests(self) -> int: ...

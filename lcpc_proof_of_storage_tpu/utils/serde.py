@@ -1,0 +1,198 @@
+"""Binary + JSON serialization of proof objects.
+
+Mirrors the reference's serde wrappers (lcpc-2d/src/lib.rs:193-283,
+376-420, 455-512, 559-638: WrappedLcCommit/WrappedOutput/WrappedLcColumn/
+WrappedLcEvalProof) in the bincode-1 fixed-int layout the reference uses on
+the wire (bincode 1.3: u64 little-endian lengths, fields in declaration
+order, fixed-size arrays without length prefixes).
+
+Field elements serialize as the reference's `[u64; limbs]` inner array.
+(ff_derive serializes the raw Montgomery limbs; we serialize the canonical
+value's u64 limbs — an equivalent fixed-width layout, see
+fields/field.py notes on Montgomery form.)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+from ..fields.field import FieldSpec
+
+
+# -- primitives -------------------------------------------------------------
+
+def write_u64(buf: io.BytesIO, v: int) -> None:
+    buf.write(v.to_bytes(8, "little"))
+
+
+def read_u64(buf: io.BytesIO) -> int:
+    return int.from_bytes(buf.read(8), "little")
+
+
+def write_bytes(buf: io.BytesIO, data: bytes) -> None:
+    write_u64(buf, len(data))
+    buf.write(data)
+
+
+def read_bytes(buf: io.BytesIO) -> bytes:
+    n = read_u64(buf)
+    return buf.read(n)
+
+
+def write_field(buf: io.BytesIO, v: int, spec: FieldSpec) -> None:
+    # [u64; limbs] little-endian limb order (canonical value)
+    buf.write(v.to_bytes(8 * spec.u64_limbs, "little"))
+
+
+def read_field(buf: io.BytesIO, spec: FieldSpec) -> int:
+    v = int.from_bytes(buf.read(8 * spec.u64_limbs), "little")
+    if v >= spec.modulus:
+        raise ValueError("non-canonical field element")
+    return v
+
+
+def write_field_vec(buf: io.BytesIO, vals: list[int], spec: FieldSpec) -> None:
+    write_u64(buf, len(vals))
+    for v in vals:
+        write_field(buf, v, spec)
+
+
+def read_field_vec(buf: io.BytesIO, spec: FieldSpec) -> list[int]:
+    n = read_u64(buf)
+    return [read_field(buf, spec) for _ in range(n)]
+
+
+# -- proof objects ----------------------------------------------------------
+
+def serialize_root(root: bytes) -> bytes:
+    buf = io.BytesIO()
+    write_bytes(buf, root)        # WrappedOutput { bytes }
+    return buf.getvalue()
+
+
+def deserialize_root(data: bytes) -> bytes:
+    return read_bytes(io.BytesIO(data))
+
+
+def serialize_column(column, spec: FieldSpec) -> bytes:
+    buf = io.BytesIO()
+    _write_column(buf, column, spec)
+    return buf.getvalue()
+
+
+def _write_column(buf: io.BytesIO, column, spec: FieldSpec) -> None:
+    write_field_vec(buf, column.col, spec)
+    write_u64(buf, len(column.path))
+    for p in column.path:
+        write_bytes(buf, p)
+
+
+def _read_column(buf: io.BytesIO, spec: FieldSpec):
+    from ..core.commit import LcColumn
+    col = read_field_vec(buf, spec)
+    n = read_u64(buf)
+    path = [read_bytes(buf) for _ in range(n)]
+    return LcColumn(col=col, path=path)
+
+
+def deserialize_column(data: bytes, spec: FieldSpec):
+    return _read_column(io.BytesIO(data), spec)
+
+
+def serialize_proof(proof, spec: FieldSpec) -> bytes:
+    """WrappedLcEvalProof layout: n_cols, p_eval, p_random_vec, columns."""
+    buf = io.BytesIO()
+    write_u64(buf, proof.n_cols)
+    write_field_vec(buf, proof.p_eval, spec)
+    write_u64(buf, len(proof.p_random_vec))
+    for v in proof.p_random_vec:
+        write_field_vec(buf, v, spec)
+    write_u64(buf, len(proof.columns))
+    for c in proof.columns:
+        _write_column(buf, c, spec)
+    return buf.getvalue()
+
+
+def deserialize_proof(data: bytes, spec: FieldSpec):
+    from ..core.commit import LcEvalProof
+    buf = io.BytesIO(data)
+    n_cols = read_u64(buf)
+    p_eval = read_field_vec(buf, spec)
+    ndt = read_u64(buf)
+    p_random_vec = [read_field_vec(buf, spec) for _ in range(ndt)]
+    ncols_open = read_u64(buf)
+    columns = [_read_column(buf, spec) for _ in range(ncols_open)]
+    return LcEvalProof(n_cols=n_cols, p_eval=p_eval,
+                       p_random_vec=p_random_vec, columns=columns)
+
+
+def serialize_commit(comm, spec: FieldSpec) -> bytes:
+    """WrappedLcCommit layout: comm, coeffs, n_rows, n_cols, n_per_row,
+    hashes (lcpc-2d/src/lib.rs:193-204)."""
+    import numpy as np
+    from ..fields.field import limbs_to_ints
+    from ..ops.blake3_jax import digests_to_bytes
+    buf = io.BytesIO()
+    write_field_vec(buf, limbs_to_ints(np.asarray(comm.comm).reshape(-1, spec.num_limbs16)), spec)
+    write_field_vec(buf, limbs_to_ints(np.asarray(comm.coeffs).reshape(-1, spec.num_limbs16)), spec)
+    write_u64(buf, comm.n_rows)
+    write_u64(buf, comm.n_cols)
+    write_u64(buf, comm.n_per_row)
+    hashes = digests_to_bytes(comm.hashes)
+    write_u64(buf, len(hashes))
+    for h in hashes:
+        write_bytes(buf, h)
+    return buf.getvalue()
+
+
+def deserialize_commit(data: bytes, spec: FieldSpec):
+    import numpy as np
+    import jax.numpy as jnp
+    from ..core.commit import LcCommit
+    from ..fields.field import ints_to_limbs
+    from ..ops.blake3_jax import bytes_to_digest
+    buf = io.BytesIO(data)
+    comm_vals = read_field_vec(buf, spec)
+    coeff_vals = read_field_vec(buf, spec)
+    n_rows = read_u64(buf)
+    n_cols = read_u64(buf)
+    n_per_row = read_u64(buf)
+    nh = read_u64(buf)
+    hashes = np.stack([bytes_to_digest(read_bytes(buf)) for _ in range(nh)])
+    comm = jnp.asarray(ints_to_limbs(comm_vals, spec)).reshape(n_rows, n_cols, -1)
+    coeffs = jnp.asarray(ints_to_limbs(coeff_vals, spec)).reshape(n_rows, n_per_row, -1)
+    return LcCommit(coeffs=coeffs, comm=comm, n_rows=n_rows, n_cols=n_cols,
+                    n_per_row=n_per_row, hashes=hashes)
+
+
+# -- JSON variants (networking wire format) ---------------------------------
+
+def proof_to_json(proof, spec: FieldSpec) -> dict:
+    return {
+        "n_cols": proof.n_cols,
+        "p_eval": [str(v) for v in proof.p_eval],
+        "p_random_vec": [[str(v) for v in vec] for vec in proof.p_random_vec],
+        "columns": [column_to_json(c) for c in proof.columns],
+    }
+
+
+def proof_from_json(obj: dict, spec: FieldSpec):
+    from ..core.commit import LcEvalProof
+    return LcEvalProof(
+        n_cols=obj["n_cols"],
+        p_eval=[int(v) for v in obj["p_eval"]],
+        p_random_vec=[[int(v) for v in vec] for vec in obj["p_random_vec"]],
+        columns=[column_from_json(c) for c in obj["columns"]],
+    )
+
+
+def column_to_json(column) -> dict:
+    return {"col": [str(v) for v in column.col],
+            "path": [p.hex() for p in column.path]}
+
+
+def column_from_json(obj: dict):
+    from ..core.commit import LcColumn
+    return LcColumn(col=[int(v) for v in obj["col"]],
+                    path=[bytes.fromhex(p) for p in obj["path"]])
