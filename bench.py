@@ -1,0 +1,88 @@
+"""Benchmark: Ligero commit throughput on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline anchor (BASELINE.md): reference Ligero rho=1/4 commit of 2^21
+coefficients over ft255 in 0.646 s on a 64-core x86 server
+(doc/benchmark-results/20210807_64c_255bit_ligero_dfl.txt:15)
+=> 3.25e6 field-elems/s end-to-end (NTT encode + Blake3 column hash +
+Merkle leaf digests).  vs_baseline = our elems/s / 3.25e6.
+
+Env knobs: LCPC_BENCH_LOG2 (default 20), LCPC_BENCH_FIELD (default ft255),
+LCPC_BENCH_ITERS (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    log2n = int(os.environ.get("LCPC_BENCH_LOG2", "20"))
+    field_name = os.environ.get("LCPC_BENCH_FIELD", "ft255")
+    iters = int(os.environ.get("LCPC_BENCH_ITERS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.codes.ligero import LigeroEncoding
+    from lcpc_proof_of_storage_tpu.core.commit import _encode_matrix, _enc_jit
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS
+    from lcpc_proof_of_storage_tpu.ops.blake3_jax import hash_columns
+
+    spec = FIELDS[field_name]
+    n = 1 << log2n
+    # rho = 1/4 to match the reference's default bench configuration
+    enc = LigeroEncoding.new(n, spec, rho=(1, 4))
+    n_rows, n_per_row, n_cols = enc.get_dims(n)
+    print(f"# bench: ligero commit 2^{log2n} {spec.name} dims="
+          f"({n_rows},{n_per_row},{n_cols}) on {jax.devices()[0]}",
+          file=sys.stderr)
+
+    L = spec.num_limbs16
+    rng = np.random.default_rng(0)
+    # random limb matrix < p: draw 16-bit limbs, clear top limb bits to stay < p
+    coeff = rng.integers(0, 1 << 16, size=(n_rows, n_per_row, L), dtype=np.uint32)
+    top_mask = (spec.modulus >> (16 * (L - 1))) - 1 if L > 1 else spec.modulus - 1
+    coeff[..., L - 1] &= max(top_mask, 1)
+    coeff_mat = jnp.asarray(coeff)
+
+    # NOTE: on the axon TPU platform block_until_ready is effectively async;
+    # force real execution by reducing to a scalar on device and reading it
+    # back (first readback of a session takes ~40-90s: tunnel claim).
+    pipeline = _enc_jit(enc, "bench_pipeline", lambda: (
+        lambda cm: ((lambda comm: hash_columns(comm, enc.spec)
+                     .sum(dtype=jnp.uint32))
+                    (_encode_matrix(cm, enc, n_cols)))))
+
+    t0 = time.time()
+    _ = int(jnp.arange(4).sum())
+    print(f"# session warmup readback: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    _ = int(pipeline(coeff_mat))
+    compile_time = time.time() - t0
+    print(f"# first call (compile+run): {compile_time:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        _ = int(pipeline(coeff_mat))
+        times.append(time.time() - t0)
+    best = min(times)
+    elems_per_s = n / best
+    baseline = 3.25e6
+    print(f"# commit times: {[round(t, 3) for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"ligero_commit_elems_per_sec_{spec.name}_2e{log2n}",
+        "value": round(elems_per_s, 1),
+        "unit": "field-elems/s/chip",
+        "vs_baseline": round(elems_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,303 @@
+"""Brakedown/SDIG expander code: seeded matrix generation + TPU encode.
+
+Re-creation of lcpc-brakedown-pc/src/{codespec,matgen,encode}.rs.
+
+Matrix generation runs on host with the reference's exact RNG semantics
+(ChaCha20 per-level streams, uniform distinct column sampling, nonzero
+value rejection — matgen.rs:28-188), producing column-regular sparse
+matrices.  For the device we transpose them into padded row-gather form:
+encode becomes a fori_loop of gather + lazy-accumulated limb products per
+matrix — the TPU-native replacement for sprs CSC mat-vec (encode.rs:46-90).
+
+The Reed-Solomon base case (encode.rs:97-110, Vandermonde at points
+1,2,3,...) becomes a dense Vandermonde dot.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.field import FieldSpec, ints_to_limbs
+from ..fields.limb import limb_field
+from ..crypto.chacha import ChaChaRng, UniformUsize, seed_from_u64
+
+
+# --------------------------------------------------------------------------
+# code specifications (codespec.rs)
+# --------------------------------------------------------------------------
+
+def _ent(z: float) -> float:
+    assert 0.0 < z < 1.0
+    return -z * math.log2(z) - (1 - z) * math.log2(1 - z)
+
+
+@dataclass(frozen=True)
+class SdigSpec:
+    """alpha/beta/r as exact ratios + base-case length (codespec.rs:24-163)."""
+    alpha_num: int
+    alpha_den: int
+    beta_num: int
+    beta_den: int
+    r_num: int
+    r_den: int
+    baselen: int = 20
+
+    @property
+    def alpha(self) -> float:
+        return self.alpha_num / self.alpha_den
+
+    @property
+    def beta(self) -> float:
+        return self.beta_num / self.beta_den
+
+    @property
+    def r(self) -> float:
+        return self.r_num / self.r_den
+
+    def dist(self) -> float:
+        return (self.beta_num * self.r_den) / (self.beta_den * self.r_num)
+
+    def mu(self) -> float:
+        return self.r - 1.0 - self.r * self.alpha
+
+    def nu(self) -> float:
+        return self.beta + self.alpha * self.beta + 0.03
+
+    def cnst_cn_1(self) -> float:
+        return _ent(self.beta) + self.alpha * _ent(1.28 * self.beta / self.alpha)
+
+    def cnst_cn_2(self) -> float:
+        return self.beta * math.log2(self.alpha / (1.28 * self.beta))
+
+    def cnst_dn_1(self) -> float:
+        return (self.r * self.alpha * _ent(self.beta / self.r)
+                + self.mu() * _ent(self.nu() / self.mu()))
+
+    def cnst_dn_2(self) -> float:
+        return self.alpha * self.beta * math.log2(self.mu() / self.nu())
+
+
+# Brakedown paper table 1 presets (codespec.rs:169-232)
+SDIG_CODE_1 = SdigSpec(239, 2000, 71, 2500, 71, 50)
+SDIG_CODE_2 = SdigSpec(69, 500, 111, 2500, 147, 100)
+SDIG_CODE_3 = SdigSpec(89, 500, 61, 1000, 1521, 1000)
+SDIG_CODE_4 = SdigSpec(1, 5, 41, 500, 41, 25)
+SDIG_CODE_5 = SdigSpec(211, 1000, 97, 1000, 202, 125)
+SDIG_CODE_6 = SdigSpec(119, 500, 241, 2000, 43, 25)
+SDIG_CODES = [SDIG_CODE_1, SDIG_CODE_2, SDIG_CODE_3,
+              SDIG_CODE_4, SDIG_CODE_5, SDIG_CODE_6]
+
+
+def _ceil_muldiv(n: int, num: int, den: int) -> int:
+    return (n * num + den - 1) // den
+
+
+def get_dims(n: int, log2p: float, spec: SdigSpec):
+    """matgen.rs:56-112 — per-level (ni, mi, cn) and (ni', mi', dn)."""
+    baselen = spec.baselen
+    assert n > baselen
+
+    sizes = []
+    ni = n
+    while ni > baselen:
+        sizes.append(ni)
+        ni = _ceil_muldiv(ni, spec.alpha_num, spec.alpha_den)
+    assert ni <= baselen
+    sizes.append(ni)
+    assert len(sizes) > 1
+
+    pre_dims = []
+    for ni, mi in zip(sizes, sizes[1:]):
+        cn = min(
+            max(
+                _ceil_muldiv(ni, 32 * spec.beta_num, 25 * spec.beta_den),
+                4 + _ceil_muldiv(ni, spec.beta_num, spec.beta_den),
+            ),
+            math.ceil((110.0 / ni + spec.cnst_cn_1()) / spec.cnst_cn_2()),
+        )
+        cn = min(cn, mi)
+        pre_dims.append((ni, mi, cn))
+
+    post_dims = []
+    for ni, mi, _ in pre_dims:
+        niprime = _ceil_muldiv(mi, spec.r_num, spec.r_den)
+        miprime = _ceil_muldiv(ni, spec.r_num, spec.r_den) - ni - niprime
+        tmp1 = _ceil_muldiv(ni, 2 * spec.beta_num, spec.beta_den)
+        tmp2 = _ceil_muldiv(ni, spec.r_num, spec.r_den) - ni + 110
+        dn = min(
+            tmp1 + math.ceil(tmp2 / log2p),
+            math.ceil((110.0 / ni + spec.cnst_dn_1()) / spec.cnst_dn_2()),
+        )
+        dn = min(dn, miprime)
+        post_dims.append((niprime, miprime, dn))
+
+    return pre_dims, post_dims
+
+
+# --------------------------------------------------------------------------
+# sparse matrix generation (matgen.rs)
+# --------------------------------------------------------------------------
+
+@dataclass
+class SparseCode:
+    """Column-regular sparse matrix, rows x cols, in CSC triplet form."""
+    rows: int
+    cols: int
+    col_indices: list          # per column: sorted row indices
+    col_values: list           # per column: field values (same order)
+
+
+def gen_code(n: int, m: int, d: int, rng: ChaChaRng, field: FieldSpec) -> SparseCode:
+    """matgen.rs:115-188: n columns, each with d distinct uniform rows in
+    [0, m) and nonzero values; consumes the RNG exactly like the reference
+    (distinct-filtered Uniform stream, then values in sorted-row order)."""
+    dist = UniformUsize(0, m)
+    col_indices = []
+    col_values = []
+    for _ in range(n):
+        seen: list[int] = []
+        while len(seen) < d:
+            x = dist.sample(rng)
+            if x not in seen:
+                seen.append(x)
+        seen.sort()
+        vals = []
+        for _row in seen:
+            v = field.random(rng)
+            while v == 0:
+                v = field.random(rng)
+            vals.append(v)
+        col_indices.append(seen)
+        col_values.append(vals)
+    return SparseCode(rows=m, cols=n, col_indices=col_indices, col_values=col_values)
+
+
+def generate(n: int, seed: int, field: FieldSpec, spec: SdigSpec):
+    """matgen.rs:28-52: per-level ChaCha20 streams; precode then postcode
+    from the same stream."""
+    pre_dims, post_dims = get_dims(n, float(field.num_bits - 1), spec)
+    precodes, postcodes = [], []
+    base_seed = seed_from_u64(seed)
+    for i, ((ni, mi, cn), (nip, mip, dn)) in enumerate(zip(pre_dims, post_dims)):
+        rng = ChaChaRng(base_seed, 20)
+        rng.set_stream(i)
+        precodes.append(gen_code(ni, mi, cn, rng, field))
+        postcodes.append(gen_code(nip, mip, dn, rng, field))
+    return precodes, postcodes
+
+
+def codeword_length(precodes: list, postcodes: list) -> int:
+    """encode.rs:18-33."""
+    return (precodes[0].cols
+            + postcodes[-1].cols
+            + sum(pc.rows for pc in precodes[:-1])
+            + sum(pc.rows for pc in postcodes))
+
+
+# --------------------------------------------------------------------------
+# device encode
+# --------------------------------------------------------------------------
+
+@dataclass
+class GatherMat:
+    """Row-gather form of a sparse matrix: y[r] = sum_k vals[k,r]*x[idx[k,r]].
+
+    idx, vals are (K, rows[, L]) device arrays, K = max row-nnz, padded with
+    (index 0, value 0)."""
+    rows: int
+    cols: int
+    idx: jnp.ndarray
+    vals: jnp.ndarray
+
+
+def to_gather(mat: SparseCode, field: FieldSpec) -> GatherMat:
+    rows_entries: list[list] = [[] for _ in range(mat.rows)]
+    for j in range(mat.cols):
+        for r, v in zip(mat.col_indices[j], mat.col_values[j]):
+            rows_entries[r].append((j, v))
+    K = max(1, max(len(e) for e in rows_entries))
+    L = field.num_limbs16
+    idx = np.zeros((K, mat.rows), np.int32)
+    vals = np.zeros((K, mat.rows, L), np.uint32)
+    for r, entries in enumerate(rows_entries):
+        for k, (j, v) in enumerate(entries):
+            idx[k, r] = j
+            vals[k, r] = ints_to_limbs([v], field)[0]
+    return GatherMat(rows=mat.rows, cols=mat.cols,
+                     idx=jnp.asarray(idx), vals=jnp.asarray(vals))
+
+
+def gather_matvec(gm: GatherMat, x: jnp.ndarray, field: FieldSpec) -> jnp.ndarray:
+    """y = A x for batched x (b, cols, L) -> (b, rows, L).
+
+    fori_loop over the K gather slots: one gather + one exact limb product
+    per slot, accumulated unreduced (K < 2^15), one Barrett at the end."""
+    lf = limb_field(field)
+    K = gm.idx.shape[0]
+    b = x.shape[0]
+    acc0 = jnp.zeros((b, gm.rows, 2 * lf.L + 2), jnp.uint32)
+
+    def body(k, acc):
+        idx_k = jax.lax.dynamic_index_in_dim(gm.idx, k, 0, keepdims=False)
+        val_k = jax.lax.dynamic_index_in_dim(gm.vals, k, 0, keepdims=False)
+        xg = jnp.take(x, idx_k, axis=1)             # (b, rows, L)
+        prod = lf._mul_raw(val_k[None], xg)         # (b, rows, 2L) exact
+        return acc.at[..., : 2 * lf.L].add(prod)
+
+    acc = jax.lax.fori_loop(0, K, body, acc0)
+    return lf.barrett_reduce(lf._carry_norm(acc, 2 * lf.L + 2))
+
+
+def vandermonde_matrix(n_points: int, width: int, field: FieldSpec) -> jnp.ndarray:
+    """(n_points, width, L): V[r, j] = (r+1)^j  (encode.rs:97-110 points)."""
+    rows = []
+    for r in range(n_points):
+        x = (r + 1) % field.modulus
+        row = [1] * width
+        for j in range(1, width):
+            row[j] = (row[j - 1] * x) % field.modulus
+        rows.append(ints_to_limbs(row, field))
+    return jnp.asarray(np.stack(rows))
+
+
+class ExpanderEncoder:
+    """Static encode pipeline for one (n, seed, field, spec) instance."""
+
+    def __init__(self, n: int, seed: int, field: FieldSpec, spec: SdigSpec):
+        self.field = field
+        self.spec = spec
+        self.precodes_sp, self.postcodes_sp = generate(n, seed, field, spec)
+        self.n_per_row = self.precodes_sp[0].cols
+        self.codeword_len = codeword_length(self.precodes_sp, self.postcodes_sp)
+        self.precodes = [to_gather(m, field) for m in self.precodes_sp]
+        self.postcodes = [to_gather(m, field) for m in self.postcodes_sp]
+        rs_len = self.postcodes_sp[-1].cols
+        self.vander = vandermonde_matrix(rs_len, self.precodes_sp[-1].rows, field)
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(b, n_per_row, L) -> (b, codeword_len, L) following encode.rs:36-95."""
+        lf = limb_field(self.field)
+        nl = len(self.precodes)
+        parts = [x]                              # parts[i] = input to level i
+        cur = x
+        for pc in self.precodes[:-1]:
+            cur = gather_matvec(pc, cur, self.field)
+            parts.append(cur)
+        temp = gather_matvec(self.precodes[-1], cur, self.field)
+        # RS base case: out[r] = sum_j temp[j] * (r+1)^j
+        rs = lf.dot(self.vander[None], temp[:, None, :, :], axis=-2)
+        parts.append(rs)
+        for i in range(nl - 1, -1, -1):
+            zin = jnp.concatenate(parts[i + 1:], axis=1)
+            assert zin.shape[1] == self.postcodes[i].cols, (
+                zin.shape, self.postcodes[i].cols)
+            parts.append(gather_matvec(self.postcodes[i], zin, self.field))
+        out = jnp.concatenate(parts, axis=1)
+        assert out.shape[1] == self.codeword_len
+        return out

@@ -1,0 +1,102 @@
+"""Brakedown expander-code tests (reference: lcpc-brakedown-pc/src/tests.rs:
+matgen+encode smoke, e2e one/two proofs, ML shape assertion, distinct seeds).
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from lcpc_proof_of_storage_tpu.codes.brakedown import BrakedownEncoding
+from lcpc_proof_of_storage_tpu.core.commit import commit, prove, verify
+from lcpc_proof_of_storage_tpu.crypto.transcript import Transcript
+from lcpc_proof_of_storage_tpu.fields.field import FT63, limbs_to_ints
+from lcpc_proof_of_storage_tpu.fields.limb import limb_field
+from lcpc_proof_of_storage_tpu.ops.expander import (
+    ExpanderEncoder, SDIG_CODE_3, SDIG_CODES, generate, get_dims,
+)
+
+
+def test_get_dims_invariants():
+    for code in SDIG_CODES:
+        pre, post = get_dims(4096, 62.0, code)
+        assert pre[0][0] == 4096
+        for (ni, mi, cn), (nip, mip, dn) in zip(pre, post):
+            assert mi < ni
+            assert cn <= mi and cn > 0
+            assert dn <= mip and dn > 0
+        assert pre[-1][1] <= code.baselen
+
+
+def test_matgen_deterministic_and_column_regular():
+    spec = FT63
+    pre1, post1 = generate(500, 0, spec, SDIG_CODE_3)
+    pre2, _ = generate(500, 0, spec, SDIG_CODE_3)
+    pre3, _ = generate(500, 1, spec, SDIG_CODE_3)
+    assert pre1[0].col_indices == pre2[0].col_indices
+    assert pre1[0].col_values == pre2[0].col_values
+    assert pre1[0].col_indices != pre3[0].col_indices
+    # column-regular: every column has exactly cn distinct sorted rows
+    pre_dims, _ = get_dims(500, float(spec.num_bits - 1), SDIG_CODE_3)
+    cn = pre_dims[0][2]
+    for col in pre1[0].col_indices:
+        assert len(col) == cn
+        assert col == sorted(set(col))
+    for vals in pre1[0].col_values:
+        assert all(v != 0 for v in vals)
+
+
+def test_encode_linearity():
+    spec = FT63
+    lf = limb_field(spec)
+    enc = ExpanderEncoder(64, 0, spec, SDIG_CODE_3)
+    rnd = random.Random(0)
+    a = [rnd.randrange(spec.modulus) for _ in range(64)]
+    b = [rnd.randrange(spec.modulus) for _ in range(64)]
+    A, B = lf.array(a)[None], lf.array(b)[None]
+    f = jax.jit(enc.encode)
+    lhs = limbs_to_ints(np.asarray(f(lf.add(A, B)))[0])
+    ea = limbs_to_ints(np.asarray(f(A))[0])
+    eb = limbs_to_ints(np.asarray(f(B))[0])
+    rhs = [(x + y) % spec.modulus for x, y in zip(ea, eb)]
+    assert lhs == rhs
+
+
+def test_brakedown_end_to_end():
+    spec = FT63
+    rnd = random.Random(7)
+    length = 2000
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(length)]
+    enc = BrakedownEncoding.new(length, seed=0, field=spec)
+    assert enc.n_per_row < enc.n_cols
+    comm = commit(coeffs, enc)
+    root = comm.get_root().root
+
+    x = rnd.randrange(spec.modulus)
+    inner = [pow(x, j, spec.modulus) for j in range(comm.n_per_row)]
+    xr = pow(x, comm.n_per_row, spec.modulus)
+    outer = [pow(xr, i, spec.modulus) for i in range(comm.n_rows)]
+
+    tr = Transcript(b"test transcript")
+    tr.append_message(b"polycommit", root)
+    proof = prove(comm, outer, enc, tr)
+    tv = Transcript(b"test transcript")
+    tv.append_message(b"polycommit", root)
+    res = verify(root, outer, inner, proof, enc, tv)
+
+    expect = 0
+    for c in reversed(coeffs):
+        expect = (expect * x + c) % spec.modulus
+    assert res == expect
+    assert tr.state_bytes() == tv.state_bytes()
+
+
+def test_brakedown_ml_shape():
+    # reference tests.rs:240-288: 2^lgl == n_rows * n_per_row for ML commits
+    spec = FT63
+    lgl = 11
+    enc = BrakedownEncoding.new_ml(lgl, seed=1, field=spec)
+    n_rows, n_per_row, _ = enc.get_dims(1 << lgl)
+    assert n_per_row & (n_per_row - 1) == 0
+    assert n_rows * n_per_row == 1 << lgl
