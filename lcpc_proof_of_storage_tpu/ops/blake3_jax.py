@@ -48,8 +48,9 @@ def _round_schedules() -> np.ndarray:
 _SCHED = _round_schedules()
 
 
-def compress8(cv, m, counter_lo, counter_hi, block_len, flags):
-    """Batched Blake3 compression; returns first 8 output words.
+def compress8_xp(xp, cv, m, counter_lo, counter_hi, block_len, flags):
+    """Batched Blake3 compression, generic over jnp / numpy module `xp`;
+    returns first 8 output words.
 
     cv: (..., 8) uint32; m: (..., 16) uint32; counter/block_len/flags:
     scalars or broadcastable uint32 arrays.
@@ -58,15 +59,16 @@ def compress8(cv, m, counter_lo, counter_hi, block_len, flags):
     via lane rotations) so the XLA graph is ~8x smaller than a scalar
     unroll — both VPU-friendlier and far cheaper to compile.
     """
+    u32 = xp.uint32
     shape = cv.shape[:-1]
     r0 = cv[..., 0:4]
     r1 = cv[..., 4:8]
-    r2 = jnp.broadcast_to(jnp.asarray(IV[:4]), (*shape, 4))
-    r3 = jnp.stack([
-        jnp.broadcast_to(jnp.asarray(counter_lo, U32), shape),
-        jnp.broadcast_to(jnp.asarray(counter_hi, U32), shape),
-        jnp.broadcast_to(jnp.asarray(block_len, U32), shape),
-        jnp.broadcast_to(jnp.asarray(flags, U32), shape),
+    r2 = xp.broadcast_to(xp.asarray(IV[:4]), (*shape, 4))
+    r3 = xp.stack([
+        xp.broadcast_to(xp.asarray(counter_lo, u32), shape),
+        xp.broadcast_to(xp.asarray(counter_hi, u32), shape),
+        xp.broadcast_to(xp.asarray(block_len, u32), shape),
+        xp.broadcast_to(xp.asarray(flags, u32), shape),
     ], axis=-1)
 
     def quad_g(a, b, c, d, mx, my):
@@ -86,16 +88,26 @@ def compress8(cv, m, counter_lo, counter_hi, block_len, flags):
         r0, r1, r2, r3 = quad_g(r0, r1, r2, r3,
                                 ms[..., 0:8:2], ms[..., 1:8:2])
         # diagonal round: rotate rows left by 1/2/3, operate, rotate back
-        r1 = jnp.roll(r1, -1, axis=-1)
-        r2 = jnp.roll(r2, -2, axis=-1)
-        r3 = jnp.roll(r3, -3, axis=-1)
+        r1 = xp.roll(r1, -1, axis=-1)
+        r2 = xp.roll(r2, -2, axis=-1)
+        r3 = xp.roll(r3, -3, axis=-1)
         r0, r1, r2, r3 = quad_g(r0, r1, r2, r3,
                                 ms[..., 8:16:2], ms[..., 9:16:2])
-        r1 = jnp.roll(r1, 1, axis=-1)
-        r2 = jnp.roll(r2, 2, axis=-1)
-        r3 = jnp.roll(r3, 3, axis=-1)
+        r1 = xp.roll(r1, 1, axis=-1)
+        r2 = xp.roll(r2, 2, axis=-1)
+        r3 = xp.roll(r3, 3, axis=-1)
 
-    return jnp.concatenate([r0 ^ r2, r1 ^ r3], axis=-1)
+    return xp.concatenate([r0 ^ r2, r1 ^ r3], axis=-1)
+
+
+def compress8(cv, m, counter_lo, counter_hi, block_len, flags):
+    """jnp variant of compress8_xp (device kernels)."""
+    return compress8_xp(jnp, cv, m, counter_lo, counter_hi, block_len, flags)
+
+
+def compress8_np(cv, m, counter_lo, counter_hi, block_len, flags):
+    """numpy variant (host-side incremental column accumulator)."""
+    return compress8_xp(np, cv, m, counter_lo, counter_hi, block_len, flags)
 
 
 @functools.lru_cache(maxsize=None)

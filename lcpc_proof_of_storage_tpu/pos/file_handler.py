@@ -1,0 +1,242 @@
+"""FileHandler: the per-file storage manager (reference:
+proof-of-storage/src/lcpc_online/file_handler.rs).
+
+Owns the on-disk quadruple (.porraw/.porenc/.portree/.meta) plus the
+in-memory Merkle tree; supports create/attach, edit/append/reshape,
+row/column access and full-consistency self-check.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..fields.field import FieldSpec
+from .storage import (
+    ColumnDigestAccumulator, EncodedFileMetadata, EncodedFileReader,
+    EncodedFileWriter, MerkleTree, ceildiv, data_bytes_to_limbs_np,
+    file_paths, limbs_to_data_bytes_np, new_ulid, _encode_batch,
+)
+
+
+class FileHandler:
+    def __init__(self, ulid: str, paths: dict[str, Path], spec: FieldSpec,
+                 meta: EncodedFileMetadata, tree: MerkleTree):
+        self.ulid = ulid
+        self.paths = paths
+        self.spec = spec
+        self.pre_encoded_size = meta.pre_encoded_size
+        self.encoded_size = meta.encoded_size
+        self.rows_written = meta.rows_written
+        self.row_capacity = meta.row_capacity
+        self.total_data_bytes = meta.bytes_of_data
+        self.merkle_tree = tree
+        self.reader = EncodedFileReader(
+            paths["enc"], spec, meta.pre_encoded_size, meta.encoded_size,
+            meta.rows_written, meta.row_capacity)
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def attach(cls, ulid: str, spec: FieldSpec, base: Path | None = None) -> "FileHandler":
+        paths = file_paths(ulid, base)
+        for k, p in paths.items():
+            if not p.is_file():
+                raise FileNotFoundError(f"missing {k} file: {p}")
+        meta = EncodedFileMetadata.read_from_file(paths["meta"])
+        assert meta.ulid == ulid, "metadata ulid mismatch"
+        tree = MerkleTree.from_bytes(paths["tree"].read_bytes())
+        return cls(ulid, paths, spec, meta, tree)
+
+    @classmethod
+    def create_from_unencoded_file(cls, ulid: str, source: Path | None,
+                                   pre_encoded_size: int, encoded_size: int,
+                                   spec: FieldSpec,
+                                   base: Path | None = None) -> "FileHandler":
+        assert encoded_size & (encoded_size - 1) == 0
+        paths = file_paths(ulid, base)
+        if source is not None and source != paths["raw"]:
+            os.replace(source, paths["raw"])
+        meta, tree = EncodedFileWriter.convert_unencoded_file(
+            paths["raw"], paths["enc"], paths["tree"], paths["meta"],
+            pre_encoded_size, encoded_size, spec, ulid=ulid)
+        return cls(ulid, paths, spec, meta, tree)
+
+    @classmethod
+    def create_from_bytes(cls, data: bytes, pre_encoded_size: int,
+                          encoded_size: int, spec: FieldSpec,
+                          base: Path | None = None,
+                          ulid: str | None = None) -> "FileHandler":
+        ulid = ulid or new_ulid()
+        paths = file_paths(ulid, base)
+        paths["raw"].write_bytes(data)
+        return cls.create_from_unencoded_file(
+            ulid, None, pre_encoded_size, encoded_size, spec, base)
+
+    # -- metadata ------------------------------------------------------------
+    def get_encoded_metadata(self) -> EncodedFileMetadata:
+        return EncodedFileMetadata(
+            ulid=self.ulid, pre_encoded_size=self.pre_encoded_size,
+            encoded_size=self.encoded_size, rows_written=self.rows_written,
+            row_capacity=self.row_capacity, bytes_of_data=self.total_data_bytes)
+
+    def _write_metadata(self) -> None:
+        self.get_encoded_metadata().write_to_file(self.paths["meta"])
+
+    def _write_tree(self, tree: MerkleTree) -> None:
+        assert len(tree) == self.encoded_size * 2 - 1
+        self.paths["tree"].write_bytes(tree.to_bytes())
+
+    @property
+    def row_data_bytes(self) -> int:
+        return self.pre_encoded_size * self.spec.data_byte_capacity
+
+    def get_dimensions(self) -> tuple[int, int, int]:
+        return (self.pre_encoded_size, self.encoded_size, self.rows_written)
+
+    def get_commit_root(self) -> bytes:
+        return self.merkle_tree.root()
+
+    # -- mutation ------------------------------------------------------------
+    def edit_bytes(self, byte_start: int, new_bytes: bytes) -> tuple[bytes, MerkleTree]:
+        """file_handler.rs:279-333: returns (original bytes, new tree)."""
+        assert byte_start + len(new_bytes) <= self.total_data_bytes, \
+            "can't edit more bytes than there are in the file"
+        with open(self.paths["raw"], "r+b") as f:
+            f.seek(byte_start)
+            original = f.read(len(new_bytes))
+            f.seek(byte_start)
+            f.write(new_bytes)
+        start_row = byte_start // self.row_data_bytes
+        end_row = ceildiv(byte_start + len(new_bytes), self.row_data_bytes)
+        with open(self.paths["raw"], "rb") as f:
+            for row in range(start_row, end_row):
+                f.seek(row * self.row_data_bytes)
+                row_bytes = f.read(self.row_data_bytes)
+                self.reader.replace_row_with_decoded_bytes(row, row_bytes)
+        tree = self.recalculate_merkle_tree()
+        return original, tree
+
+    def append_bytes(self, data: bytes) -> MerkleTree:
+        """file_handler.rs:335-366."""
+        with open(self.paths["raw"], "ab") as f:
+            f.write(data)
+        start_row = self.total_data_bytes // self.row_data_bytes
+        end_row = ceildiv(self.total_data_bytes + len(data), self.row_data_bytes)
+        if end_row > self.row_capacity:
+            self.reader.set_new_capacity(end_row * 2)
+            self.row_capacity = end_row * 2
+        self.total_data_bytes += len(data)
+        self.rows_written = end_row
+        self.reader.rows_written = end_row
+        with open(self.paths["raw"], "rb") as f:
+            for row in range(start_row, end_row):
+                f.seek(row * self.row_data_bytes)
+                row_bytes = f.read(self.row_data_bytes)
+                self.reader.replace_encoded_row(row, self._encode_row_bytes(row_bytes))
+        tree = self.recalculate_merkle_tree()
+        self._write_metadata()
+        return tree
+
+    def _encode_row_bytes(self, row_bytes: bytes) -> np.ndarray:
+        limbs = data_bytes_to_limbs_np(row_bytes, self.spec)
+        mat = np.zeros((1, self.pre_encoded_size, self.spec.num_limbs16), np.uint32)
+        mat[0, : limbs.shape[0]] = limbs
+        return np.asarray(_encode_batch(self.spec, self.encoded_size)(mat))[0]
+
+    def reshape(self, new_pre: int, new_enc: int) -> tuple[EncodedFileMetadata, MerkleTree]:
+        """file_handler.rs:224-276: re-encode from the raw file at new dims."""
+        self.reader.close()
+        meta, tree = EncodedFileWriter.convert_unencoded_file(
+            self.paths["raw"], self.paths["enc"], self.paths["tree"],
+            self.paths["meta"], new_pre, new_enc, self.spec, ulid=self.ulid)
+        self.pre_encoded_size = new_pre
+        self.encoded_size = new_enc
+        self.rows_written = meta.rows_written
+        self.row_capacity = meta.row_capacity
+        self.total_data_bytes = meta.bytes_of_data
+        self.merkle_tree = tree
+        self.reader = EncodedFileReader(
+            self.paths["enc"], self.spec, new_pre, new_enc,
+            meta.rows_written, meta.row_capacity)
+        return meta, tree
+
+    def recalculate_merkle_tree(self) -> MerkleTree:
+        tree = self.reader.process_file_to_merkle_tree()
+        self.merkle_tree = tree
+        self._write_tree(tree)
+        return tree
+
+    # -- access --------------------------------------------------------------
+    def get_encoded_row(self, row: int) -> np.ndarray:
+        return self.reader.get_encoded_row(row)
+
+    def get_decoded_row_bytes(self, row: int) -> bytes:
+        return self.reader.get_unencoded_row_bytes(row)
+
+    def get_unencoded_row(self, row: int) -> bytes:
+        assert row < self.rows_written
+        start = row * self.row_data_bytes
+        end = min((row + 1) * self.row_data_bytes, self.total_data_bytes)
+        return self.get_unencoded_bytes(start, end)
+
+    def get_unencoded_bytes(self, start: int, end: int) -> bytes:
+        with open(self.paths["raw"], "rb") as f:
+            f.seek(start)
+            return f.read(end - start)
+
+    def read_only_digests(self, columns: list[int] | None = None) -> list[bytes]:
+        cols = columns if columns is not None else list(range(self.encoded_size))
+        return [self.merkle_tree[c] for c in cols]
+
+    def read_full_columns(self, columns: list[int] | None = None):
+        from ..core.commit import LcColumn
+        from ..fields.field import limbs_to_ints
+        cols = columns if columns is not None else list(range(self.encoded_size))
+        out = []
+        for c in cols:
+            vals = limbs_to_ints(self.reader.get_encoded_column_without_path(c))
+            out.append(LcColumn(col=vals, path=self.merkle_tree.get_path(c)))
+        return out
+
+    def left_multiply_unencoded_matrix_by_vector(self, left: list[int]) -> list[int]:
+        """v = left^T . unencoded matrix (file_handler.rs:614-638)."""
+        assert len(left) == self.rows_written
+        p = self.spec.modulus
+        result = [0] * self.pre_encoded_size
+        for row in range(self.rows_written):
+            c = left[row]
+            row_limbs = data_bytes_to_limbs_np(self.get_unencoded_row(row), self.spec)
+            from ..fields.field import limbs_to_ints
+            vals = limbs_to_ints(row_limbs)
+            for j, v in enumerate(vals):
+                result[j] = (result[j] + v * c) % p
+        return result
+
+    def verify_all_files_agree(self) -> None:
+        """Exhaustive self-check (file_handler.rs:505-541)."""
+        tree_from_encoded = self.reader.process_file_to_merkle_tree()
+        assert tree_from_encoded == self.merkle_tree, "encoded file tree mismatch"
+        # re-encode the raw file and compare digests
+        acc = ColumnDigestAccumulator(self.encoded_size, self.spec)
+        total = 0
+        with open(self.paths["raw"], "rb") as f:
+            while True:
+                row_bytes = f.read(self.row_data_bytes)
+                if not row_bytes:
+                    break
+                total += len(row_bytes)
+                acc.update_batch(self._encode_row_bytes(row_bytes)[None])
+        assert total == self.total_data_bytes, "raw size mismatch"
+        assert acc.finalize_to_merkle_tree() == self.merkle_tree, \
+            "raw-file re-encode tree mismatch"
+
+    def delete_all_files(self) -> None:
+        self.reader.close()
+        for p in self.paths.values():
+            if p.exists():
+                p.unlink()
+        parent = self.paths["raw"].parent
+        if parent.exists() and not any(parent.iterdir()):
+            parent.rmdir()

@@ -1,0 +1,219 @@
+"""Proof-of-storage layer tests: streaming equivalence, file I/O
+integration, edit/append fuzz (reference families: row_generator_iter.rs
+tests, lcpc_online/tests.rs, SURVEY.md §4.4-4.5)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from lcpc_proof_of_storage_tpu.codes.ligero import LigeroEncoding
+from lcpc_proof_of_storage_tpu.core.commit import commit
+from lcpc_proof_of_storage_tpu.fields.field import WRITEABLE_FT63
+from lcpc_proof_of_storage_tpu.pos import online
+from lcpc_proof_of_storage_tpu.pos.file_handler import FileHandler
+from lcpc_proof_of_storage_tpu.pos.storage import (
+    ColumnDigestAccumulator, EncodedFileReader, EncodedFileWriter, MerkleTree,
+    data_bytes_to_limbs_np, get_decoded_file_size_from_rate,
+    get_encoded_file_size_from_rate, new_ulid,
+)
+
+SPEC = WRITEABLE_FT63
+
+
+def _digests_from_hashes(comm):
+    return [np.asarray(comm.hashes[i], dtype="<u4").tobytes()
+            for i in range(comm.n_cols)]
+
+
+def test_streaming_commit_equals_in_ram_commit(tmp_path):
+    """Oracle family (b): streamed root == LcCommit root (SURVEY §4.4)."""
+    rnd = random.Random(0)
+    data = bytes(rnd.randrange(256) for _ in range(5000))
+    n_pre, n_enc = 8, 32
+
+    # in-RAM commit via the core engine
+    limbs = data_bytes_to_limbs_np(data, SPEC)
+    enc = LigeroEncoding.new_from_dims(n_pre, n_enc, SPEC)
+    import jax.numpy as jnp
+    core_commit = commit(jnp.asarray(limbs), enc)
+
+    # streamed commit
+    raw = tmp_path / "f.porraw"
+    encp = tmp_path / "f.porenc"
+    raw.write_bytes(data)
+    meta, tree = EncodedFileWriter.convert_unencoded_file(
+        raw, encp, None, None, n_pre, n_enc, SPEC)
+
+    assert tree.root() == core_commit.get_root().root
+    # leaves match too
+    assert tree.digests[:n_enc] == _digests_from_hashes(core_commit)
+
+
+def test_specified_column_digests_match_full(tmp_path):
+    rnd = random.Random(1)
+    data = bytes(rnd.randrange(256) for _ in range(3000))
+    n_pre, n_enc = 8, 32
+    limbs = data_bytes_to_limbs_np(data, SPEC)
+    rows = -(-limbs.shape[0] // n_pre)
+    mat = np.zeros((rows, n_pre, SPEC.num_limbs16), np.uint32)
+    mat.reshape(-1, SPEC.num_limbs16)[: limbs.shape[0]] = limbs
+    from lcpc_proof_of_storage_tpu.pos.storage import _encode_batch
+    encoded = np.asarray(_encode_batch(SPEC, n_enc)(mat))
+
+    acc_all = ColumnDigestAccumulator(n_enc, SPEC)
+    acc_all.update_batch(encoded)
+    all_digests = acc_all.get_column_digests()
+
+    some = [3, 17, 30]
+    acc_some = ColumnDigestAccumulator(n_enc, SPEC, columns=some)
+    for i in range(rows):
+        acc_some.update(encoded[i])
+    some_digests = acc_some.get_column_digests()
+    assert some_digests == [all_digests[c] for c in some]
+
+
+@pytest.mark.parametrize("rate", [(8, 16), (8, 32), (4, 64)])
+def test_encode_decode_roundtrip_and_sizes(tmp_path, rate):
+    """lcpc_online/tests.rs:29-148."""
+    n_pre, n_enc = rate
+    rnd = random.Random(n_pre * n_enc)
+    for nbytes in (100, 1000, 4321):
+        data = bytes(rnd.randrange(256) for _ in range(nbytes))
+        fh = FileHandler.create_from_bytes(data, n_pre, n_enc, SPEC, base=tmp_path)
+        decoded = fh.reader.decode_to_bytes()
+        assert decoded[:nbytes] == data
+        # exact size formula
+        import os
+        enc_size = os.path.getsize(fh.paths["enc"])
+        assert enc_size == fh.row_capacity * n_enc * SPEC.repr_bytes
+        expected_min = get_encoded_file_size_from_rate(nbytes, n_pre, n_enc, SPEC)
+        assert enc_size >= expected_min
+        dec_bound = get_decoded_file_size_from_rate(expected_min, n_pre, n_enc, SPEC)
+        assert dec_bound >= nbytes
+        fh.delete_all_files()
+
+
+def test_edit_fuzz(tmp_path):
+    """lcpc_online/tests.rs:150-261 — randomized edits with a running
+    expected-contents model + verify_all_files_agree."""
+    rnd = random.Random(7)
+    nbytes = 3000
+    model = bytearray(rnd.randrange(256) for _ in range(nbytes))
+    fh = FileHandler.create_from_bytes(bytes(model), 8, 32, SPEC, base=tmp_path)
+    for it in range(12):
+        start = rnd.randrange(nbytes - 50)
+        length = rnd.randrange(1, 50)
+        new = bytes(rnd.randrange(256) for _ in range(length))
+        original, tree = fh.edit_bytes(start, new)
+        assert original == bytes(model[start : start + length])
+        model[start : start + length] = new
+        if it % 4 == 0:
+            fh.verify_all_files_agree()
+            assert fh.reader.decode_to_bytes()[:nbytes] == bytes(model)
+    fh.verify_all_files_agree()
+    fh.delete_all_files()
+
+
+def test_append_fuzz(tmp_path):
+    """lcpc_online/tests.rs:262-360."""
+    rnd = random.Random(8)
+    model = bytearray(rnd.randrange(256) for _ in range(500))
+    fh = FileHandler.create_from_bytes(bytes(model), 8, 32, SPEC, base=tmp_path)
+    for _ in range(6):
+        add = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 400)))
+        fh.append_bytes(add)
+        model += add
+        assert fh.total_data_bytes == len(model)
+        assert fh.reader.decode_to_bytes()[: len(model)] == bytes(model)
+    fh.verify_all_files_agree()
+    fh.delete_all_files()
+
+
+def test_column_openings_verify_against_root(tmp_path):
+    """lcpc_online/tests.rs:362-438."""
+    rnd = random.Random(9)
+    data = bytes(rnd.randrange(256) for _ in range(2000))
+    fh = FileHandler.create_from_bytes(data, 8, 32, SPEC, base=tmp_path)
+    root = fh.get_commit_root()
+    n_required = online.get_pos_soundness_n_cols(8, 32)
+    cols_idx = online.get_column_indices_from_random_seed(
+        online.FIXED_RANDOM_SEED_CHANGE_LATER, n_required, 32)
+    columns = fh.read_full_columns(cols_idx)
+    online.verify_column_paths(root, cols_idx, columns, SPEC)
+    # tamper -> fail
+    columns[0].col[0] = (columns[0].col[0] + 1) % SPEC.modulus
+    with pytest.raises(online.VerificationError):
+        online.verify_column_paths(root, cols_idx, columns, SPEC)
+    fh.delete_all_files()
+
+
+def test_reshape_preserves_data(tmp_path):
+    rnd = random.Random(10)
+    data = bytes(rnd.randrange(256) for _ in range(2000))
+    fh = FileHandler.create_from_bytes(data, 8, 32, SPEC, base=tmp_path)
+    root_before = fh.get_commit_root()
+    meta, tree = fh.reshape(16, 64)
+    assert fh.get_commit_root() != root_before
+    assert fh.reader.decode_to_bytes()[: len(data)] == data
+    fh.verify_all_files_agree()
+    # attach from disk resumes identically (checkpoint/resume)
+    fh2 = FileHandler.attach(fh.ulid, SPEC, base=tmp_path)
+    assert fh2.get_commit_root() == fh.get_commit_root()
+    assert fh2.get_dimensions() == fh.get_dimensions()
+    fh2.reader.close()
+    fh.delete_all_files()
+
+
+def test_merkle_tree_bytes_roundtrip():
+    rnd = random.Random(11)
+    leaves = [bytes(rnd.randrange(256) for _ in range(32)) for _ in range(16)]
+    tree = MerkleTree.new(leaves)
+    tree2 = MerkleTree.from_bytes(tree.to_bytes())
+    assert tree == tree2
+    assert tree.get_path(5) == tree2.get_path(5)
+
+
+def test_polynomial_evaluation_protocol(tmp_path):
+    """Server computes v = L^T M over the encoded matrix; client checks
+    opened columns and recovers the evaluation (lcpc_online.rs:454-627)."""
+    rnd = random.Random(12)
+    data = bytes(rnd.randrange(256) for _ in range(1500))
+    n_pre, n_enc = 8, 32
+    comm = online.commit_file_data(data, n_pre, n_enc, SPEC)
+    point = rnd.randrange(SPEC.modulus)
+    # the data-polynomial evaluation uses left stride x^(i*n_pre), the
+    # reference's reshape-eval convention (server.rs:880-886)
+    left, right = online.form_side_vectors(point, comm.n_rows, n_pre, SPEC)
+    v = online.verifiable_polynomial_evaluation(comm, left, SPEC)
+
+    n_required = online.get_pos_soundness_n_cols(n_pre, n_enc)
+    cols_idx = online.get_column_indices_from_random_seed(1337, n_required, n_enc)
+    columns = online.server_retrieve_columns(comm, cols_idx)
+
+    result = online.verify_full_polynomial_evaluation(
+        point, v, comm.n_rows, n_pre, n_pre, cols_idx, columns, SPEC)
+
+    # oracle: evaluate the data polynomial directly
+    vals = [int(x) for x in
+            _limbs_ints(data_bytes_to_limbs_np(data, SPEC))]
+    expect = online.evaluate_field_polynomial_at_point(
+        _row_major_poly(vals, comm.n_rows, n_pre), point, SPEC)
+    assert result == expect
+
+    # tampered result vector fails
+    v_bad = list(v)
+    v_bad[cols_idx[0]] = (v_bad[cols_idx[0]] + 1) % SPEC.modulus
+    with pytest.raises(online.VerificationError):
+        online.verify_full_polynomial_evaluation(
+            point, v_bad, comm.n_rows, n_pre, n_pre, cols_idx, columns, SPEC)
+
+
+def _limbs_ints(limbs):
+    from lcpc_proof_of_storage_tpu.fields.field import limbs_to_ints
+    return limbs_to_ints(limbs)
+
+
+def _row_major_poly(vals, n_rows, n_pre):
+    padded = vals + [0] * (n_rows * n_pre - len(vals))
+    return padded
