@@ -118,7 +118,20 @@ def _hash_subtree(data: bytes, chunk_counter: int) -> tuple[int, ...]:
 
 
 def blake3(data: bytes) -> bytes:
-    """Blake3 hash (default mode, 32-byte output)."""
+    """Blake3 hash (default mode, 32-byte output).
+
+    Uses the C++ native kernel when available (lcpc_proof_of_storage_tpu/
+    native); falls back to the pure-Python spec implementation
+    (blake3_py below), which is also the cross-check oracle."""
+    from ..native import blake3_native
+    out = blake3_native(bytes(data))
+    if out is not None:
+        return out
+    return blake3_py(data)
+
+
+def blake3_py(data: bytes) -> bytes:
+    """Pure-Python Blake3 (spec reference implementation)."""
     if len(data) <= CHUNK_LEN:
         cv = _chunk_cv(data, 0, True)
         return struct.pack("<8I", *cv)

@@ -31,6 +31,15 @@ def _np_rotl(x: np.ndarray, n: int) -> np.ndarray:
 def _chacha_blocks(key_words: np.ndarray, stream_words: np.ndarray,
                    counter_start: int, nblocks: int, rounds: int) -> np.ndarray:
     """Return (nblocks, 16) uint32 keystream words."""
+    try:
+        from ..native import chacha_blocks_native
+        key = key_words.astype("<u4").tobytes()
+        stream = int(stream_words[0]) | (int(stream_words[1]) << 32)
+        out = chacha_blocks_native(key, stream, counter_start, nblocks, rounds)
+        if out is not None:
+            return np.frombuffer(out, dtype="<u4").astype(np.uint32).reshape(nblocks, 16)
+    except ImportError:
+        pass
     ctr = counter_start + np.arange(nblocks, dtype=np.uint64)
     state = np.empty((16, nblocks), dtype=np.uint32)
     for i, c in enumerate(_CONSTANTS):

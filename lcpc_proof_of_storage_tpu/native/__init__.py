@@ -1,0 +1,80 @@
+"""Native host runtime loader: builds/loads libposnative.so via ctypes.
+
+Falls back gracefully (native() returns None) when no compiler is present;
+all call sites have pure-Python/numpy fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+_HERE = Path(__file__).parent
+_SO = _HERE / "libposnative.so"
+_SRC = _HERE / "posnative.cc"
+
+_lib = None
+_tried = False
+
+
+def build(force: bool = False) -> bool:
+    if _SO.exists() and not force and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def native():
+    """ctypes handle to the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not build():
+        return None
+    lib = ctypes.CDLL(str(_SO))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pos_blake3.argtypes = [ctypes.c_char_p, ctypes.c_size_t, u8p]
+    lib.pos_blake3_many.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                    ctypes.c_size_t, u8p]
+    lib.pos_blake3_columns.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                       ctypes.c_size_t, u8p]
+    lib.pos_chacha_blocks.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                      ctypes.c_uint64, ctypes.c_size_t,
+                                      ctypes.c_int, u8p]
+    lib.pos_keccak_f1600.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+    for name in ("pos_pread_strided", "pos_pwrite_strided",
+                 "pos_pread_strided_blocks", "pos_pwrite_strided_blocks"):
+        fn = getattr(lib, name)
+        fn.argtypes = [ctypes.c_int, u8p, ctypes.c_uint64, ctypes.c_uint64,
+                       ctypes.c_uint64, ctypes.c_uint64]
+        fn.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def blake3_native(data: bytes) -> bytes | None:
+    lib = native()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * 32)()
+    lib.pos_blake3(data, len(data), out)
+    return bytes(out)
+
+
+def chacha_blocks_native(key: bytes, stream: int, counter0: int,
+                         nblocks: int, rounds: int) -> bytes | None:
+    lib = native()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * (64 * nblocks))()
+    lib.pos_chacha_blocks(key, stream, counter0, nblocks, rounds, out)
+    return bytes(out)

@@ -1,0 +1,321 @@
+// Native host runtime for the proof-of-storage framework.
+//
+// TPU-native equivalent of the reference's Rust native layer (SURVEY.md
+// §2.6): the device handles bulk field arithmetic and batched hashing;
+// this library covers the host-side hot paths the reference implemented
+// in Rust — Blake3 hashing of byte streams, ChaCha20 keystream expansion,
+// Keccak-f[1600] for the STROBE transcript, and column-major strided file
+// I/O (the .porenc layout, encoded_file_writer.rs:309-389).
+//
+// Build: g++ -O3 -march=native -shared -fPIC posnative.cc -o libposnative.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+
+#if defined(__unix__) || defined(__APPLE__)
+#include <unistd.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Blake3 (portable implementation, default hash mode)
+// ---------------------------------------------------------------------------
+
+static const uint32_t B3_IV[8] = {
+    0x6A09E667u, 0xBB67AE85u, 0x3C6EF372u, 0xA54FF53Au,
+    0x510E527Fu, 0x9B05688Cu, 0x1F83D9ABu, 0x5BE0CD19u,
+};
+static const uint8_t B3_PERM[16] = {2, 6, 3, 10, 7, 0, 4, 13,
+                                    1, 11, 12, 5, 9, 14, 15, 8};
+enum { CHUNK_START = 1, CHUNK_END = 2, PARENT = 4, ROOT = 8 };
+
+static inline uint32_t rotr32(uint32_t x, int n) {
+  return (x >> n) | (x << (32 - n));
+}
+
+static void b3_compress(const uint32_t cv[8], const uint32_t block[16],
+                        uint64_t counter, uint32_t block_len, uint32_t flags,
+                        uint32_t out[16]) {
+  uint32_t v[16];
+  uint32_t m[16];
+  for (int i = 0; i < 8; i++) v[i] = cv[i];
+  for (int i = 0; i < 4; i++) v[8 + i] = B3_IV[i];
+  v[12] = (uint32_t)counter;
+  v[13] = (uint32_t)(counter >> 32);
+  v[14] = block_len;
+  v[15] = flags;
+  for (int i = 0; i < 16; i++) m[i] = block[i];
+
+#define G(a, b, c, d, mx, my)                      \
+  v[a] = v[a] + v[b] + (mx);                       \
+  v[d] = rotr32(v[d] ^ v[a], 16);                  \
+  v[c] = v[c] + v[d];                              \
+  v[b] = rotr32(v[b] ^ v[c], 12);                  \
+  v[a] = v[a] + v[b] + (my);                       \
+  v[d] = rotr32(v[d] ^ v[a], 8);                   \
+  v[c] = v[c] + v[d];                              \
+  v[b] = rotr32(v[b] ^ v[c], 7);
+
+  for (int r = 0; r < 7; r++) {
+    G(0, 4, 8, 12, m[0], m[1]);
+    G(1, 5, 9, 13, m[2], m[3]);
+    G(2, 6, 10, 14, m[4], m[5]);
+    G(3, 7, 11, 15, m[6], m[7]);
+    G(0, 5, 10, 15, m[8], m[9]);
+    G(1, 6, 11, 12, m[10], m[11]);
+    G(2, 7, 8, 13, m[12], m[13]);
+    G(3, 4, 9, 14, m[14], m[15]);
+    if (r < 6) {
+      uint32_t t[16];
+      for (int i = 0; i < 16; i++) t[i] = m[B3_PERM[i]];
+      memcpy(m, t, sizeof(t));
+    }
+  }
+#undef G
+  for (int i = 0; i < 8; i++) {
+    out[i] = v[i] ^ v[i + 8];
+    out[i + 8] = v[i + 8] ^ cv[i];
+  }
+}
+
+static void b3_load_block(const uint8_t* p, size_t len, uint32_t block[16]) {
+  uint8_t tmp[64];
+  memset(tmp, 0, 64);
+  memcpy(tmp, p, len);
+  for (int i = 0; i < 16; i++) {
+    block[i] = (uint32_t)tmp[4 * i] | ((uint32_t)tmp[4 * i + 1] << 8) |
+               ((uint32_t)tmp[4 * i + 2] << 16) |
+               ((uint32_t)tmp[4 * i + 3] << 24);
+  }
+}
+
+// CV of one chunk (<= 1024 bytes); root flag applied if is_root.
+static void b3_chunk_cv(const uint8_t* data, size_t len, uint64_t counter,
+                        int is_root, uint32_t cv_out[8]) {
+  uint32_t cv[8];
+  memcpy(cv, B3_IV, sizeof(cv));
+  size_t nblocks = len == 0 ? 1 : (len + 63) / 64;
+  for (size_t b = 0; b < nblocks; b++) {
+    size_t blen = len == 0 ? 0 : (b == nblocks - 1 ? len - 64 * b : 64);
+    uint32_t flags = 0;
+    if (b == 0) flags |= CHUNK_START;
+    if (b == nblocks - 1) {
+      flags |= CHUNK_END;
+      if (is_root) flags |= ROOT;
+    }
+    uint32_t block[16], out[16];
+    b3_load_block(data + 64 * b, blen, block);
+    b3_compress(cv, block, counter, (uint32_t)blen, flags, out);
+    memcpy(cv, out, 32);
+  }
+  memcpy(cv_out, cv, 32);
+}
+
+static void b3_parent(const uint32_t l[8], const uint32_t r[8], int is_root,
+                      uint32_t out_cv[8]) {
+  uint32_t block[16], out[16];
+  memcpy(block, l, 32);
+  memcpy(block + 8, r, 32);
+  b3_compress(B3_IV, block, 0, 64, PARENT | (is_root ? ROOT : 0), out);
+  memcpy(out_cv, out, 32);
+}
+
+void pos_blake3(const uint8_t* data, size_t len, uint8_t out[32]) {
+  // incremental pairwise-with-carry merge (== left-leaning chunk tree)
+  uint32_t stack[64][8];
+  int depth = 0;
+  size_t nchunks = len <= 1024 ? 1 : (len + 1023) / 1024;
+  if (nchunks == 1) {
+    uint32_t cv[8];
+    b3_chunk_cv(data, len, 0, 1, cv);
+    memcpy(out, cv, 32);
+    return;
+  }
+  for (size_t c = 0; c < nchunks; c++) {
+    size_t clen = c == nchunks - 1 ? len - 1024 * c : 1024;
+    uint32_t cv[8];
+    b3_chunk_cv(data + 1024 * c, clen, c, 0, cv);
+    memcpy(stack[depth++], cv, 32);
+    size_t total = c + 1;
+    // the final chunk never merges eagerly (it carries the ROOT merge)
+    if (c == nchunks - 1) break;
+    while ((total & 1) == 0) {
+      b3_parent(stack[depth - 2], stack[depth - 1], 0, stack[depth - 2]);
+      depth--;
+      total >>= 1;
+    }
+  }
+  while (depth > 1) {
+    b3_parent(stack[depth - 2], stack[depth - 1], depth == 2, stack[depth - 2]);
+    depth--;
+  }
+  memcpy(out, stack[0], 32);
+}
+
+// Hash n_msgs equal-length messages laid out contiguously.
+void pos_blake3_many(const uint8_t* data, size_t n_msgs, size_t msg_len,
+                     uint8_t* out) {
+  for (size_t i = 0; i < n_msgs; i++) {
+    pos_blake3(data + i * msg_len, msg_len, out + 32 * i);
+  }
+}
+
+// Hash messages with a 32-byte zero prefix (the column-leaf convention).
+void pos_blake3_columns(const uint8_t* data, size_t n_cols, size_t col_len,
+                        uint8_t* out) {
+  // prefix shifts chunk boundaries; simplest correct approach: copy
+  static thread_local uint8_t* buf = nullptr;
+  static thread_local size_t buf_len = 0;
+  size_t need = col_len + 32;
+  if (buf_len < need) {
+    delete[] buf;
+    buf = new uint8_t[need];
+    buf_len = need;
+  }
+  memset(buf, 0, 32);
+  for (size_t i = 0; i < n_cols; i++) {
+    memcpy(buf + 32, data + i * col_len, col_len);
+    pos_blake3(buf, need, out + 32 * i);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// ChaCha (rand_chacha layout: 64-bit counter words 12-13, stream words 14-15)
+// ---------------------------------------------------------------------------
+
+void pos_chacha_blocks(const uint8_t key[32], uint64_t stream,
+                       uint64_t counter0, size_t nblocks, int rounds,
+                       uint8_t* out) {
+  static const uint32_t C[4] = {0x61707865u, 0x3320646Eu, 0x79622D32u,
+                                0x6B206574u};
+  uint32_t k[8];
+  for (int i = 0; i < 8; i++) {
+    k[i] = (uint32_t)key[4 * i] | ((uint32_t)key[4 * i + 1] << 8) |
+           ((uint32_t)key[4 * i + 2] << 16) | ((uint32_t)key[4 * i + 3] << 24);
+  }
+  for (size_t b = 0; b < nblocks; b++) {
+    uint64_t ctr = counter0 + b;
+    uint32_t s[16];
+    for (int i = 0; i < 4; i++) s[i] = C[i];
+    for (int i = 0; i < 8; i++) s[4 + i] = k[i];
+    s[12] = (uint32_t)ctr;
+    s[13] = (uint32_t)(ctr >> 32);
+    s[14] = (uint32_t)stream;
+    s[15] = (uint32_t)(stream >> 32);
+    uint32_t x[16];
+    memcpy(x, s, sizeof(s));
+#define QR(a, b, c, d)                    \
+  x[a] += x[b]; x[d] = rotr32(x[d] ^ x[a], 16); \
+  x[c] += x[d]; x[b] = rotr32(x[b] ^ x[c], 20); \
+  x[a] += x[b]; x[d] = rotr32(x[d] ^ x[a], 24); \
+  x[c] += x[d]; x[b] = rotr32(x[b] ^ x[c], 25);
+    for (int r = 0; r < rounds; r += 2) {
+      QR(0, 4, 8, 12) QR(1, 5, 9, 13) QR(2, 6, 10, 14) QR(3, 7, 11, 15)
+      QR(0, 5, 10, 15) QR(1, 6, 11, 12) QR(2, 7, 8, 13) QR(3, 4, 9, 14)
+    }
+#undef QR
+    uint8_t* o = out + 64 * b;
+    for (int i = 0; i < 16; i++) {
+      uint32_t w = x[i] + s[i];
+      o[4 * i] = (uint8_t)w;
+      o[4 * i + 1] = (uint8_t)(w >> 8);
+      o[4 * i + 2] = (uint8_t)(w >> 16);
+      o[4 * i + 3] = (uint8_t)(w >> 24);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Keccak-f[1600]
+// ---------------------------------------------------------------------------
+
+static const int KECCAK_RHO[25] = {0,  1,  62, 28, 27, 36, 44, 6,  55,
+                                   20, 3,  10, 43, 25, 39, 41, 45, 15,
+                                   21, 8,  18, 2,  61, 56, 14};
+static inline uint64_t rotl64(uint64_t v, int n) {
+  return n == 0 ? v : (v << n) | (v >> (64 - n));
+}
+
+void pos_keccak_f1600(uint64_t a[25]) {
+  // generate round constants with the spec LFSR
+  uint64_t rc_lfsr = 1;
+  for (int rnd = 0; rnd < 24; rnd++) {
+    uint64_t c[5], d[5], b[25];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++) a[x + 5 * y] ^= d[x];
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y], KECCAK_RHO[x + 5 * y]);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        a[x + 5 * y] = b[x + 5 * y] ^ (~b[(x + 1) % 5 + 5 * y] & b[(x + 2) % 5 + 5 * y]);
+    // iota via LFSR
+    uint64_t rc = 0;
+    for (int j = 0; j < 7; j++) {
+      // bit = lfsr output
+      uint64_t bit = rc_lfsr & 1;
+      rc |= bit << ((1u << j) - 1);
+      rc_lfsr <<= 1;
+      if (rc_lfsr & 0x100) rc_lfsr ^= 0x171;
+    }
+    a[0] ^= rc;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Column-major strided file I/O (.porenc layout)
+// ---------------------------------------------------------------------------
+
+#if defined(__unix__) || defined(__APPLE__)
+
+// Read `count` elements of `elem_size` bytes starting at byte `start`,
+// advancing `stride` bytes between elements (one element per column).
+int pos_pread_strided(int fd, uint8_t* buf, uint64_t start, uint64_t stride,
+                      uint64_t elem_size, uint64_t count) {
+  for (uint64_t i = 0; i < count; i++) {
+    ssize_t got = pread(fd, buf + i * elem_size, elem_size,
+                        (off_t)(start + i * stride));
+    if (got != (ssize_t)elem_size) return -1;
+  }
+  return 0;
+}
+
+int pos_pwrite_strided(int fd, const uint8_t* buf, uint64_t start,
+                       uint64_t stride, uint64_t elem_size, uint64_t count) {
+  for (uint64_t i = 0; i < count; i++) {
+    ssize_t put = pwrite(fd, buf + i * elem_size, elem_size,
+                         (off_t)(start + i * stride));
+    if (put != (ssize_t)elem_size) return -1;
+  }
+  return 0;
+}
+
+// Batched: for each of `count` strided positions read `block` bytes
+// (a run of consecutive rows within each column).
+int pos_pread_strided_blocks(int fd, uint8_t* buf, uint64_t start,
+                             uint64_t stride, uint64_t block, uint64_t count) {
+  for (uint64_t i = 0; i < count; i++) {
+    ssize_t got = pread(fd, buf + i * block, block, (off_t)(start + i * stride));
+    if (got != (ssize_t)block) return -1;
+  }
+  return 0;
+}
+
+int pos_pwrite_strided_blocks(int fd, const uint8_t* buf, uint64_t start,
+                              uint64_t stride, uint64_t block, uint64_t count) {
+  for (uint64_t i = 0; i < count; i++) {
+    ssize_t put = pwrite(fd, buf + i * block, block, (off_t)(start + i * stride));
+    if (put != (ssize_t)block) return -1;
+  }
+  return 0;
+}
+
+#endif  // unix
+
+}  // extern "C"
