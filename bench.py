@@ -24,7 +24,11 @@ def main() -> None:
     field_name = os.environ.get("LCPC_BENCH_FIELD", "ft255")
     iters = int(os.environ.get("LCPC_BENCH_ITERS", "3"))
 
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lcpc_tpu_xla_cache")
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 

@@ -24,6 +24,20 @@ from ..ops.ntt import ntt
 LAMBDA = 128
 
 
+def _use_pallas(n_cols: int) -> bool:
+    """Fused Pallas butterfly kernels: TPU backend, big-enough rows, and a
+    single device (the multi-chip GSPMD path keeps the XLA formulation)."""
+    import os
+    if os.environ.get("LCPC_NO_PALLAS"):
+        return False
+    import jax
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend not in ("cpu",) and n_cols >= 256 and len(jax.devices()) == 1
+
+
 class LigeroEncoding(LcEncoding):
     """Reed-Solomon row code at rate rho = rho_num/rho_den (default 1/2,
     matching the reference's ``LigeroEncoding`` alias, lib.rs:188-190)."""
@@ -109,10 +123,16 @@ class LigeroEncoding(LcEncoding):
     # -- LcEncoding ----------------------------------------------------------
     def encode(self, rows: jnp.ndarray) -> jnp.ndarray:
         assert rows.shape[-2] == self.n_cols
+        if _use_pallas(self.n_cols):
+            from ..ops.ntt_pallas import ntt_pallas
+            return ntt_pallas(rows, self.spec)
         return ntt(rows, self.spec)
 
     def decode(self, rows: jnp.ndarray) -> jnp.ndarray:
         """Inverse (ifft_oi analogue, used by the PoS read path)."""
+        if _use_pallas(self.n_cols):
+            from ..ops.ntt_pallas import ntt_pallas
+            return ntt_pallas(rows, self.spec, inverse=True)
         from ..ops.ntt import intt
         return intt(rows, self.spec)
 

@@ -1,0 +1,73 @@
+"""Single-process TPU validation + bench for the Pallas NTT path.
+
+Enables the persistent compilation cache so repeated runs skip Mosaic
+compiles.  Run: python scripts/tpu_validate_bench.py [log2n]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lcpc_tpu_xla_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import random
+
+
+def main():
+    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+
+    from lcpc_proof_of_storage_tpu.fields.field import FT63, FT255
+    from lcpc_proof_of_storage_tpu.fields.limb import limb_field
+    from lcpc_proof_of_storage_tpu.ops.ntt import ntt
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas import ntt_pallas
+
+    t = time.time()
+    _ = int(jnp.arange(4).sum())
+    print(f"# warmup {time.time()-t:.0f}s", flush=True)
+
+    # correctness: ft63 at 8192 exercises small+large stage kernels
+    spec = FT63
+    lf = limb_field(spec)
+    rnd = random.Random(0)
+    n, b = 8192, 4
+    vals = [[rnd.randrange(spec.modulus) for _ in range(n)] for _ in range(b)]
+    X = jnp.stack([lf.array(v) for v in vals])
+    ref = np.asarray(jax.jit(lambda a: ntt(a, spec))(X))
+    t = time.time()
+    got = np.asarray(jax.jit(lambda a: ntt_pallas(a, spec))(X))
+    ok = np.array_equal(got, ref)
+    print(f"# ft63 n=8192 pallas: {time.time()-t:.0f}s match={ok}", flush=True)
+    if not ok:
+        sys.exit("MISMATCH ft63")
+
+    # bench: ft255 commit NTT at the 2^log2n dims
+    spec = FT255
+    n_cols = 1 << (log2n - 5)        # rho=1/4 square-ish: (2^(l-5) rows... )
+    batch = (1 << log2n) // (n_cols // 4)
+    # replicate bench dims: n_per_row = n_cols/4, n_rows = N / n_per_row
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 1 << 16, (batch, n_cols, spec.num_limbs16), dtype=np.uint32))
+    g = jax.jit(lambda a: ntt_pallas(a, spec).sum(dtype=jnp.uint32))
+    t = time.time()
+    _ = int(g(x))
+    print(f"# ft255 ntt b{batch} n{n_cols} compile+run {time.time()-t:.0f}s", flush=True)
+    best = 1e9
+    for _i in range(3):
+        t = time.time()
+        _ = int(g(x))
+        best = min(best, time.time() - t)
+    total = batch * n_cols
+    print(f"ft255 pallas ntt b{batch}xn{n_cols}: {best*1000:.0f} ms "
+          f"({total/best/1e6:.1f}M enc-elems/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
