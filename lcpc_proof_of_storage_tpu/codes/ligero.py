@@ -125,7 +125,8 @@ class LigeroEncoding(LcEncoding):
         assert rows.shape[-2] == self.n_cols
         if _use_pallas(self.n_cols):
             from ..ops.ntt_pallas import ntt_pallas
-            return ntt_pallas(rows, self.spec)
+            # rows carry coefficients only in the first n_per_row slots
+            return ntt_pallas(rows, self.spec, n_nonzero=self.n_per_row)
         return ntt(rows, self.spec)
 
     def decode(self, rows: jnp.ndarray) -> jnp.ndarray:

@@ -114,6 +114,16 @@ def intt(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     return lf.mul(y, jnp.asarray(n_inv))
 
 
+def _auto_ntt(x: jnp.ndarray, spec: FieldSpec, inverse: bool,
+              n_nonzero: int | None = None) -> jnp.ndarray:
+    """Route through the fused Pallas path when available (TPU, n >= 256)."""
+    from ..codes.ligero import _use_pallas
+    if _use_pallas(x.shape[-2]):
+        from .ntt_pallas import ntt_pallas
+        return ntt_pallas(x, spec, inverse=inverse, n_nonzero=n_nonzero)
+    return intt(x, spec) if inverse else ntt(x, spec)
+
+
 def encode_rows(coeff_rows: jnp.ndarray, spec: FieldSpec, n_cols: int) -> jnp.ndarray:
     """Ligero row encode: zero-pad rows (batch, n_per_row, L) to n_cols, NTT.
 
@@ -125,9 +135,9 @@ def encode_rows(coeff_rows: jnp.ndarray, spec: FieldSpec, n_cols: int) -> jnp.nd
     assert npr <= n_cols
     padded = jnp.zeros((b, n_cols, L), dtype=coeff_rows.dtype)
     padded = padded.at[:, :npr, :].set(coeff_rows)
-    return ntt(padded, spec)
+    return _auto_ntt(padded, spec, inverse=False, n_nonzero=npr)
 
 
 def decode_rows(enc_rows: jnp.ndarray, spec: FieldSpec, n_per_row: int) -> jnp.ndarray:
     """Inverse of encode_rows (lcpc_online.rs:568-574 decode_row)."""
-    return intt(enc_rows, spec)[:, :n_per_row, :]
+    return _auto_ntt(enc_rows, spec, inverse=True)[:, :n_per_row, :]

@@ -43,7 +43,8 @@ U32 = jnp.uint32
 MASK16 = np.uint32(0xFFFF)
 
 # lane-tile width: bounds scoped VMEM (whole-row kernels OOM at n=2^15, L=16)
-_TILE = 2048
+import os
+_TILE = int(os.environ.get("LCPC_PALLAS_TILE", "2048"))
 
 
 def _limbs_const(v: int, n: int) -> np.ndarray:
@@ -117,8 +118,10 @@ def _pad_rows(x: jnp.ndarray, offset: int, total: int) -> jnp.ndarray:
 def _conv_acc(a: jnp.ndarray, b: jnp.ndarray, out_rows: int) -> jnp.ndarray:
     """Unnormalized product digits of limb blocks a (La, T) x b (Lb, T).
 
-    acc[k] = sum_{i+j=k} lo(a_i b_j) + sum_{i+j=k-1} hi(a_i b_j); every
-    accumulate is a (Lb, T)-wide op.  Digits < (La+Lb) * 2^16 < 2^23."""
+    acc[k] = sum_{i+j=k} lo(a_i b_j) + sum_{i+j=k-1} hi(a_i b_j); partial
+    products are combined with a balanced tree of shifted adds (row traffic
+    O(L log L) instead of the O(L^2) of accumulating into a full-width
+    block).  Digits < (La+Lb) * 2^16 < 2^23."""
     La, T = a.shape
     Lb = b.shape[0]
     acc = jnp.zeros((out_rows, T), U32)
@@ -208,25 +211,31 @@ def _mul_mod_block(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarr
 # butterfly stage kernels
 # ---------------------------------------------------------------------------
 
-def _stage_kernel_small(spec: FieldSpec, half: int):
-    """Stage with half < tile: partner exchange via in-tile lane rolls."""
+def _stage_kernel_small(spec: FieldSpec, halves: tuple):
+    """One kernel running ALL stages with half < tile back to back in VMEM
+    (partner exchanges are in-tile lane rolls, so no HBM round trips between
+    stages).  w_ref: (S, L, T) per-stage twiddles; lo_ref: (S, T) masks."""
     L = spec.num_limbs16
 
     def kernel(x_ref, w_ref, lo_ref, out_ref):
         x = x_ref[0]                     # (L, T)
-        w = w_ref[:]                     # (L, T)
-        lo = lo_ref[:]                   # (1, T) uint32
         T = x.shape[1]
         _, p_np, _ = _field_consts_np(spec)
         p_pad = _const_block(p_np, T, rows=L + 1)
         p = p_pad[:L]
-        y = _mul_mod_block(x, w, spec)
-        # roll semantics: out[j] = in[(j - shift) mod T]; lo needs x[j+half]
-        xp = jnp.where(lo > 0, pltpu.roll(x, T - half, 1), pltpu.roll(x, half, 1))
-        yp = jnp.where(lo > 0, pltpu.roll(y, T - half, 1), pltpu.roll(y, half, 1))
-        lo_val = _mod_add(x, yp, p_pad, L)
-        hi_val = _mod_sub(xp, y, p, L)
-        out_ref[0] = jnp.where(lo > 0, lo_val, hi_val)
+        for s, half in enumerate(halves):
+            w = w_ref[s]                 # (L, T)
+            lo = lo_ref[s : s + 1]       # (1, T)
+            y = _mul_mod_block(x, w, spec)
+            # roll: out[j] = in[(j - shift) mod T]; lo needs x[j+half]
+            xp = jnp.where(lo > 0, pltpu.roll(x, T - half, 1),
+                           pltpu.roll(x, half, 1))
+            yp = jnp.where(lo > 0, pltpu.roll(y, T - half, 1),
+                           pltpu.roll(y, half, 1))
+            lo_val = _mod_add(x, yp, p_pad, L)
+            hi_val = _mod_sub(xp, y, p, L)
+            x = jnp.where(lo > 0, lo_val, hi_val)
+        out_ref[0] = x
 
     return kernel
 
@@ -256,27 +265,36 @@ def _stage_kernel_large(spec: FieldSpec, tile_bit: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _fused_small_call(spec: FieldSpec, n: int, batch: int, halves: tuple):
+    """All small-half stages in one pallas_call."""
+    L = spec.num_limbs16
+    T = min(_TILE, n)
+    nt = n // T
+    S = len(halves)
+    kernel = _stage_kernel_small(spec, halves)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, L, n), jnp.uint32),
+        grid=(batch, nt),
+        in_specs=[
+            pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, L, T), lambda b, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, T), lambda b, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _stage_call(spec: FieldSpec, n: int, half: int, batch: int):
     L = spec.num_limbs16
     T = min(_TILE, n)
     nt = n // T
-    if half < T:
-        kernel = _stage_kernel_small(spec, half)
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((batch, L, n), jnp.uint32),
-            grid=(batch, nt),
-            in_specs=[
-                pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, T), lambda b, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T), lambda b, j: (0, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
-                                   memory_space=pltpu.VMEM),
-        )
+    assert half >= T, "small stages go through _fused_small_call"
     tile_bit = half // T
     kernel = _stage_kernel_large(spec, tile_bit)
 
@@ -327,21 +345,47 @@ def _scale_call(spec: FieldSpec, n: int, batch: int):
     )
 
 
-def ntt_pallas(x: jnp.ndarray, spec: FieldSpec, inverse: bool = False) -> jnp.ndarray:
+def ntt_pallas(x: jnp.ndarray, spec: FieldSpec, inverse: bool = False,
+               n_nonzero: int | None = None) -> jnp.ndarray:
     """Forward/inverse NTT along axis -2 via fused Pallas stages.
 
     x: (batch, n, L) — same contract and bit-identical results as
-    ops.ntt.ntt/intt (oracle: tests/test_ntt_pallas.py)."""
+    ops.ntt.ntt/intt (oracle: tests/test_ntt_pallas.py).
+
+    n_nonzero (forward only): promise that positions >= n_nonzero are zero
+    (Ligero's zero-padded coefficient rows).  The first
+    k = log2(n/np2(n_nonzero)) butterfly stages then only duplicate values
+    (the hi operand of every butterfly is zero), so they are replaced by a
+    modified initial gather idx[j] = rev(j & ~(2^k - 1)) — exact, not an
+    approximation."""
     batch, n, L = x.shape
     assert n & (n - 1) == 0 and n >= 256, "pallas path needs pow2 n >= 256"
     log_n = n.bit_length() - 1
     tws, partners, lo_mask = _ntt_tables(spec, n, inverse)
 
+    skip = 0
+    if n_nonzero is not None and not inverse and 0 < n_nonzero < n:
+        np2 = 1 if n_nonzero <= 1 else 1 << (n_nonzero - 1).bit_length()
+        skip = (n // np2).bit_length() - 1
     rev = _bit_reverse_perm(n)
-    x = jnp.take(x, jnp.asarray(rev), axis=-2)
+    if skip:
+        idx = rev[np.arange(n) & ~((1 << skip) - 1)]
+    else:
+        idx = rev
+    x = jnp.take(x, jnp.asarray(idx), axis=-2)
     xm = jnp.transpose(x, (0, 2, 1))                 # (batch, L, n)
 
-    for s in range(log_n):
+    T = min(_TILE, n)
+    n_small = min(log_n, T.bit_length() - 1)         # stages with half < T
+    if skip < n_small:
+        halves = tuple(1 << s for s in range(skip, n_small))
+        w_all = jnp.asarray(np.ascontiguousarray(
+            np.stack([tws[s].T for s in range(skip, n_small)])))   # (S, L, n)
+        lo_all = jnp.asarray(
+            lo_mask[skip:n_small].astype(np.uint32))               # (S, n)
+        xm = _fused_small_call(spec, n, batch, halves)(xm, w_all, lo_all)
+
+    for s in range(max(n_small, skip), log_n):
         w = jnp.asarray(np.ascontiguousarray(tws[s].T))      # (L, n)
         lo = jnp.asarray(lo_mask[s][None, :].astype(np.uint32))
         xm = _stage_call(spec, n, 1 << s, batch)(xm, w, lo)

@@ -64,3 +64,22 @@ def test_mul_mod_pallas_matches_oracle(interpret_pallas):
     b = [rnd.randrange(spec.modulus) for _ in range(N)]
     got = limbs_to_ints(np.asarray(mul_mod_pallas(lf.array(a), lf.array(b), spec)))
     assert got == [(x * y) % spec.modulus for x, y in zip(a, b)]
+
+
+def test_ntt_pallas_pruned_matches_xla(interpret_pallas):
+    """Zero-padding-aware stage pruning must be exact."""
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas import ntt_pallas
+    spec = FT63
+    lf = limb_field(spec)
+    rnd = random.Random(3)
+    n, npr, b = 256, 64, 2      # rho = 1/4: prunes 2 stages
+    vals = [[rnd.randrange(spec.modulus) for _ in range(npr)] for _ in range(b)]
+    X = jnp.zeros((b, n, spec.num_limbs16), jnp.uint32)
+    for i, v in enumerate(vals):
+        X = X.at[i, :npr, :].set(lf.array(v))
+    ref = np.asarray(ntt(X, spec))
+    got = np.asarray(ntt_pallas(X, spec, n_nonzero=npr))
+    assert np.array_equal(got, ref)
+    # non-power-of-two nonzero count also prunes correctly
+    got2 = np.asarray(ntt_pallas(X, spec, n_nonzero=60))
+    assert np.array_equal(got2, ref)
