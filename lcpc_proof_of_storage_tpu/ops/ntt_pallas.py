@@ -182,6 +182,39 @@ def _field_consts_np(spec: FieldSpec):
     return (_limbs_const(mu_int, mu_len), _limbs_const(spec.modulus, L), mu_len)
 
 
+@functools.lru_cache(maxsize=None)
+def _mont_consts_np(spec: FieldSpec):
+    """p and p' = -p^-1 mod 2^(16L) for Montgomery REDC."""
+    L = spec.num_limbs16
+    R = 1 << (16 * L)
+    p_prime = (-pow(spec.modulus, -1, R)) % R
+    return (_limbs_const(spec.modulus, L), _limbs_const(p_prime, L))
+
+
+def _mont_mul_block(a: jnp.ndarray, b_mont: jnp.ndarray,
+                    spec: FieldSpec) -> jnp.ndarray:
+    """Montgomery product: a (plain) x b_mont (= b*R mod p) -> a*b (plain).
+
+    REDC: z = a*b_mont; m = z*p' mod R; t = (z + m*p)/R < 2p; one
+    conditional subtraction.  R = 2^(16L).  Cheaper than Barrett (one
+    truncated conv instead of the mu conv, 1 cond-sub instead of 3 + final
+    subtract) — usable whenever one operand can be pre-scaled by R
+    (the NTT twiddles)."""
+    L = spec.num_limbs16
+    T = a.shape[1]
+    p_np, pp_np = _mont_consts_np(spec)
+    p = _const_block(p_np, T)
+    p_prime = _const_block(pp_np, T)
+    p_pad = _const_block(p_np, T, rows=L + 1)
+
+    z = _carry_prop(_conv_acc(a, b_mont, 2 * L + 1), 2 * L)        # exact
+    m = _carry_prop(_conv_acc(z[:L], p_prime, L), L)               # mod R
+    mp = _carry_prop(_conv_acc(m, p, 2 * L + 1), 2 * L)            # exact (<R^2)
+    t_full = _carry_prop(z + mp, 2 * L + 1)                        # low L limbs 0
+    t = t_full[L:]                                                  # (L+1, T)
+    return _cond_sub_p(t, p_pad)[:L]
+
+
 def _mul_mod_block(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     """Modular product of limb-major blocks: (L, T) x (L, T) -> (L, T).
 
@@ -226,7 +259,7 @@ def _stage_kernel_small(spec: FieldSpec, halves: tuple):
         for s, half in enumerate(halves):
             w = w_ref[s]                 # (L, T)
             lo = lo_ref[s : s + 1]       # (1, T)
-            y = _mul_mod_block(x, w, spec)
+            y = _mont_mul_block(x, w, spec)
             # roll: out[j] = in[(j - shift) mod T]; lo needs x[j+half]
             xp = jnp.where(lo > 0, pltpu.roll(x, T - half, 1),
                            pltpu.roll(x, half, 1))
@@ -256,7 +289,7 @@ def _stage_kernel_large(spec: FieldSpec, tile_bit: int):
         j = pl.program_id(1)
         is_lo = (j & tile_bit) == 0
         sel = jnp.where(is_lo, xp, x)
-        m = _mul_mod_block(sel, w, spec)
+        m = _mont_mul_block(sel, w, spec)
         lo_val = _mod_add(x, m, p_pad, L)          # x + w*xp
         hi_val = _mod_sub(xp, m, p, L)             # xp - w*x
         out_ref[0] = jnp.where(is_lo, lo_val, hi_val)
@@ -329,7 +362,7 @@ def _scale_call(spec: FieldSpec, n: int, batch: int):
     nt = n // T
 
     def kernel(x_ref, c_ref, out_ref):
-        out_ref[0] = _mul_mod_block(x_ref[0], c_ref[:], spec)
+        out_ref[0] = _mont_mul_block(x_ref[0], c_ref[:], spec)
 
     return pl.pallas_call(
         kernel,
@@ -343,6 +376,31 @@ def _scale_call(spec: FieldSpec, n: int, batch: int):
         out_specs=pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
                                memory_space=pltpu.VMEM),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_ntt_tables(spec: FieldSpec, n: int, inverse: bool):
+    """Per-stage twiddles pre-scaled by R = 2^(16L) (Montgomery form):
+    mont_mul(x, w*R) = x*w, so values stay in plain form throughout."""
+    from ..fields.field import ints_to_limbs as _itl
+    L = spec.num_limbs16
+    R = (1 << (16 * L)) % spec.modulus
+    w = spec.nth_root_of_unity(n)
+    if inverse:
+        w = spec.inv(w)
+    log_n = n.bit_length() - 1
+    tws = np.empty((log_n, n, L), np.uint32)
+    j = np.arange(n)
+    for s in range(log_n):
+        half = 1 << s
+        m = half * 2
+        wm = pow(w, n // m, spec.modulus)
+        tw_vals = [R % spec.modulus] * half
+        for k in range(1, half):
+            tw_vals[k] = (tw_vals[k - 1] * wm) % spec.modulus
+        tw_limbs = np.asarray(_itl(tw_vals, spec))
+        tws[s] = tw_limbs[j % half]
+    return tws
 
 
 def ntt_pallas(x: jnp.ndarray, spec: FieldSpec, inverse: bool = False,
@@ -361,7 +419,8 @@ def ntt_pallas(x: jnp.ndarray, spec: FieldSpec, inverse: bool = False,
     batch, n, L = x.shape
     assert n & (n - 1) == 0 and n >= 256, "pallas path needs pow2 n >= 256"
     log_n = n.bit_length() - 1
-    tws, partners, lo_mask = _ntt_tables(spec, n, inverse)
+    _, partners, lo_mask = _ntt_tables(spec, n, inverse)
+    tws = _mont_ntt_tables(spec, n, inverse)
 
     skip = 0
     if n_nonzero is not None and not inverse and 0 < n_nonzero < n:
@@ -391,7 +450,9 @@ def ntt_pallas(x: jnp.ndarray, spec: FieldSpec, inverse: bool = False,
         xm = _stage_call(spec, n, 1 << s, batch)(xm, w, lo)
 
     if inverse:
-        n_inv = ints_to_limbs([spec.inv(n % spec.modulus)], spec)[0]
+        R = (1 << (16 * L)) % spec.modulus
+        n_inv_mont = (spec.inv(n % spec.modulus) * R) % spec.modulus
+        n_inv = ints_to_limbs([n_inv_mont], spec)[0]
         c = jnp.asarray(np.broadcast_to(n_inv[:, None], (L, n)).copy())
         xm = _scale_call(spec, n, batch)(xm, c)
 
