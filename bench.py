@@ -35,7 +35,7 @@ def main() -> None:
     from lcpc_proof_of_storage_tpu.codes.ligero import LigeroEncoding
     from lcpc_proof_of_storage_tpu.core.commit import _encode_matrix, _enc_jit
     from lcpc_proof_of_storage_tpu.fields.field import FIELDS
-    from lcpc_proof_of_storage_tpu.ops.blake3_jax import hash_columns
+    from lcpc_proof_of_storage_tpu.ops.blake3_pallas import hash_columns_auto as hash_columns
 
     spec = FIELDS[field_name]
     n = 1 << log2n

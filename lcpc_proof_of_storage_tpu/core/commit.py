@@ -21,9 +21,10 @@ from ..crypto.transcript import Transcript
 from ..fields.field import FieldSpec, limbs_to_ints
 from ..fields.limb import limb_field
 from ..ops.blake3_jax import (
-    bytes_to_digest, digest_to_bytes, digests_to_bytes, hash_columns,
+    bytes_to_digest, digest_to_bytes, digests_to_bytes,
     merkle_parents,
 )
+from ..ops.blake3_pallas import hash_columns_auto as hash_columns
 from .encoding import LABEL_CO, LABEL_DT, LABEL_PE, LABEL_PR, LcEncoding, \
     ceil_log2, next_power_of_two
 

@@ -33,7 +33,7 @@ from ..core.commit import LcCommit, _coeffs_to_matrix, _encode_matrix, \
     merkle_hashes_from_leaves
 from ..core.encoding import LcEncoding
 from ..fields.limb import limb_field
-from ..ops.blake3_jax import hash_columns
+from ..ops.blake3_pallas import hash_columns_auto as hash_columns
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:

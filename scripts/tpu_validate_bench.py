@@ -48,6 +48,19 @@ def main():
     if not ok:
         sys.exit("MISMATCH ft63")
 
+    # pallas blake3 hash == XLA hash, multi-chunk columns
+    from lcpc_proof_of_storage_tpu.ops.blake3_jax import hash_columns
+    from lcpc_proof_of_storage_tpu.ops.blake3_pallas import hash_columns_pallas
+    lfh = limb_field(FT63)
+    comm = jnp.asarray(np.random.default_rng(1).integers(
+        0, 1 << 15, (300, 512, FT63.num_limbs16), dtype=np.uint32))
+    ref_h = np.asarray(jax.jit(lambda c: hash_columns(c, FT63))(comm))
+    got_h = np.asarray(jax.jit(lambda c: hash_columns_pallas(c, FT63))(comm))
+    okh = np.array_equal(got_h, ref_h)
+    print(f"# blake3 pallas hash match={okh}", flush=True)
+    if not okh:
+        sys.exit("MISMATCH blake3 pallas")
+
     # bench: ft255 commit NTT at the 2^log2n dims
     spec = FT255
     n_cols = 1 << (log2n - 5)        # rho=1/4 square-ish: (2^(l-5) rows... )

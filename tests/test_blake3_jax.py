@@ -72,3 +72,31 @@ def test_merkle_parents_match_reference():
     parents = digests_to_bytes(np.asarray(merkle_parents(arr)))
     for i in range(4):
         assert parents[i] == blake3(leaves[2 * i] + leaves[2 * i + 1])
+
+
+def test_hash_columns_pallas_matches(monkeypatch):
+    """Pallas column-hash kernel == XLA hash_columns (interpret mode)."""
+    import jax
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+    import lcpc_proof_of_storage_tpu.ops.blake3_pallas as bp
+    bp._hash_call.cache_clear()
+    rnd = random.Random(4)
+    spec = FT63
+    lf = limb_field(spec)
+    # interpret mode is too slow for multi-chunk columns; the chunk-tree
+    # merge path is validated on real TPU (scripts/tpu_validate_bench.py)
+    n_rows, n_cols = 3, 256
+    vals = [[rnd.randrange(spec.modulus) for _ in range(n_cols)]
+            for _ in range(n_rows)]
+    comm = jnp.stack([lf.array(r) for r in vals])
+    ref = np.asarray(hash_columns(comm, spec))
+    got = np.asarray(bp.hash_columns_pallas(comm, spec))
+    bp._hash_call.cache_clear()
+    assert np.array_equal(got, ref)
