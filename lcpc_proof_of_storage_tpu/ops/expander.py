@@ -237,7 +237,13 @@ def gather_matvec(gm: GatherMat, x: jnp.ndarray, field: FieldSpec) -> jnp.ndarra
     """y = A x for batched x (b, cols, L) -> (b, rows, L).
 
     fori_loop over the K gather slots: one gather + one exact limb product
-    per slot, accumulated unreduced (K < 2^15), one Barrett at the end."""
+    per slot, accumulated unreduced (K < 2^15), one Barrett at the end.
+    On a single TPU device the fused Pallas kernel handles G slots per
+    VMEM pass (ops/expander_pallas.py)."""
+    from ..codes.ligero import _use_pallas
+    if _use_pallas(256):
+        from .expander_pallas import gather_matvec_fused
+        return gather_matvec_fused(gm, x, field)
     lf = limb_field(field)
     K = gm.idx.shape[0]
     b = x.shape[0]

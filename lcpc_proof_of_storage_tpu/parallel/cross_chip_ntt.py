@@ -88,8 +88,7 @@ def cross_chip_ntt(x: jnp.ndarray, spec: FieldSpec, mesh: Mesh,
         # natural order: k = k1*n2 + k2 -> row-major flatten
         return xm.reshape(batch, n // D, L)
 
-    from jax.experimental.shard_map import shard_map
-    fn = shard_map(local_fn, mesh=mesh,
+    fn = jax.shard_map(local_fn, mesh=mesh,
                    in_specs=(P(None, axis, None), P(axis, None, None)),
                    out_specs=P(None, axis, None))
     return fn(x, tw)

@@ -100,3 +100,29 @@ def test_brakedown_ml_shape():
     n_rows, n_per_row, _ = enc.get_dims(1 << lgl)
     assert n_per_row & (n_per_row - 1) == 0
     assert n_rows * n_per_row == 1 << lgl
+
+
+def test_gather_matvec_fused_matches(monkeypatch):
+    """Fused pallas expander matvec == XLA path (interpret mode)."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+    import lcpc_proof_of_storage_tpu.ops.expander_pallas as ep
+    ep._group_call.cache_clear()
+    from lcpc_proof_of_storage_tpu.ops.expander import gather_matvec, generate, to_gather
+    spec = FT63
+    lf = limb_field(spec)
+    pre, post = generate(300, 0, spec, SDIG_CODE_3)
+    gm = to_gather(pre[0], spec)
+    rnd = random.Random(0)
+    x = [[rnd.randrange(spec.modulus) for _ in range(gm.cols)] for _ in range(2)]
+    X = jax.numpy.stack([lf.array(v) for v in x])
+    ref = np.asarray(gather_matvec(gm, X, spec))     # XLA (cpu backend)
+    got = np.asarray(ep.gather_matvec_fused(gm, X, spec))
+    ep._group_call.cache_clear()
+    assert np.array_equal(got, ref)

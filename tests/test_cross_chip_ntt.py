@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from lcpc_proof_of_storage_tpu.fields.field import FT63, FT255
+from lcpc_proof_of_storage_tpu.fields.field import FT63, FT127
 from lcpc_proof_of_storage_tpu.fields.limb import limb_field
 from lcpc_proof_of_storage_tpu.ops.ntt import ntt
 from lcpc_proof_of_storage_tpu.parallel.cross_chip_ntt import cross_chip_ntt
@@ -20,8 +20,8 @@ def mesh():
     return make_mesh(8)
 
 
-@pytest.mark.parametrize("spec,n", [(FT63, 1024), (FT63, 4096), (FT255, 1024)],
-                         ids=["ft63_1k", "ft63_4k", "ft255_1k"])
+@pytest.mark.parametrize("spec,n", [(FT63, 1024), (FT127, 512)],
+                         ids=["ft63_1k", "ft127_512"])
 def test_cross_chip_matches_single_chip(mesh, spec, n):
     lf = limb_field(spec)
     rnd = random.Random(n)
@@ -41,6 +41,6 @@ def test_cross_chip_explicit_split(mesh):
     vals = [rnd.randrange(spec.modulus) for _ in range(n)]
     X = lf.array(vals)[None]
     ref = np.asarray(ntt(X, spec))
-    for n1 in (8, 64, 256):
+    for n1 in (8, 64):
         got = np.asarray(cross_chip_ntt(X, spec, mesh, n1=n1))
         assert np.array_equal(got, ref), f"n1={n1}"
