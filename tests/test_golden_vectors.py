@@ -40,7 +40,13 @@ def compute_vectors() -> dict:
     pos_comm = online.commit_file_data(data, 8, 32, WRITEABLE_FT63)
     challenge_cols = online.get_column_indices_from_random_seed(1337, 6, 32)
 
+    from lcpc_proof_of_storage_tpu.codes.brakedown import BrakedownEncoding
+    # brakedown root over a fixed seed/code
+    bde = BrakedownEncoding.new(512, seed=7, field=spec)
+    bd_comm = commit([(i * 97 + 5) % spec.modulus for i in range(512)], bde)
+
     return {
+        "brakedown_ft63_root": bd_comm.get_root().root.hex(),
         "ligero_ft63_root": root.hex(),
         "proof_sha": __import__("hashlib").sha256(proof_blob).hexdigest(),
         "proof_len": len(proof_blob),
