@@ -130,8 +130,8 @@ def _coeffs_to_matrix(coeffs, enc: LcEncoding):
     return arr.reshape(n_rows, n_per_row, lf.L), (n_rows, n_per_row, n_cols)
 
 
-def merkle_hashes_from_leaves(leaves: jnp.ndarray, n_cols: int) -> np.ndarray:
-    """Build the reference's flat Merkle array from (n_cols, 8) leaf digests.
+def merkle_tree_device(leaves: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+    """Traced Merkle array build from (n_cols, 8) leaf digests.
 
     Layout (lcpc-2d/src/lib.rs:685-694, 777-815): [leaves (padded with zero
     digests to np2)] ++ [layer 1] ++ ... ++ [root]; total 2*np2 - 1 entries.
@@ -142,7 +142,11 @@ def merkle_hashes_from_leaves(leaves: jnp.ndarray, n_cols: int) -> np.ndarray:
     while cur.shape[0] > 1:
         cur = merkle_parents(cur)
         layers.append(cur)
-    return np.asarray(jnp.concatenate(layers, axis=0))
+    return jnp.concatenate(layers, axis=0)
+
+
+def merkle_hashes_from_leaves(leaves: jnp.ndarray, n_cols: int) -> np.ndarray:
+    return np.asarray(merkle_tree_device(leaves, n_cols))
 
 
 def _enc_jit(enc: LcEncoding, name: str, make_fn):
@@ -167,10 +171,11 @@ def commit(coeffs, enc: LcEncoding) -> LcCommit:
     coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
 
     pipeline = _enc_jit(enc, "commit_pipeline", lambda: (
-        lambda cm: ((lambda comm: (comm, hash_columns(comm, enc.spec)))
+        lambda cm: ((lambda comm: (comm, merkle_tree_device(
+                        hash_columns(comm, enc.spec), n_cols)))
                     (_encode_matrix(cm, enc, n_cols)))))
-    comm, leaves = pipeline(coeff_mat)
-    hashes = merkle_hashes_from_leaves(leaves, n_cols)
+    comm, hashes_dev = pipeline(coeff_mat)
+    hashes = np.asarray(hashes_dev)
     return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
                     n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)
 
@@ -312,12 +317,15 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
 # verify
 # --------------------------------------------------------------------------
 
-def _encode_row(vals: list[int], enc: LcEncoding) -> list[int]:
+def _encode_row_limbs(vals: list[int], enc: LcEncoding) -> np.ndarray:
+    """Encode one coefficient row; returns (n_cols, L) limbs (the verifier
+    compares limb rows directly — converting 32k entries to python ints
+    per proof would dominate verify time)."""
     lf = limb_field(enc.spec)
     row = jnp.zeros((1, enc.n_cols, lf.L), jnp.uint32).at[0, : len(vals), :].set(
         lf.array(vals))
     encode = _enc_jit(enc, "encode_row", lambda: enc.encode)
-    return limbs_to_ints(np.asarray(encode(row))[0])
+    return np.asarray(encode(row))[0]
 
 
 def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
@@ -344,12 +352,12 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     for i in range(enc.get_n_degree_tests()):
         rand_tensor = _challenge_tensor(tr, spec, n_rows)
         rand_tensor_vec.append(rand_tensor)
-        p_random_fft.append(_encode_row(proof.p_random_vec[i], enc))
+        p_random_fft.append(_encode_row_limbs(proof.p_random_vec[i], enc))
         _append_coeffs(tr, LABEL_PR, proof.p_random_vec[i], spec)
 
     _append_coeffs(tr, LABEL_PE, proof.p_eval, spec)
     cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
-    p_eval_fft = _encode_row(proof.p_eval, enc)
+    p_eval_fft = _encode_row_limbs(proof.p_eval, enc)
 
     # batched column dot products on device
     cols_mat = jnp.stack([lf.array(c.col) for c in proof.columns])  # (k, rows, L)
@@ -363,10 +371,10 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     n_degree = enc.get_n_degree_tests()
     for k, (col_num, column) in enumerate(zip(cols_to_open, proof.columns)):
         rand_ok = all(
-            limbs_to_ints(d_rand[i, k][None]) == [p_random_fft[i][col_num]]
+            np.array_equal(d_rand[i, k], p_random_fft[i][col_num])
             for i in range(n_degree)
         )
-        eval_ok = limbs_to_ints(d_eval[k][None]) == [p_eval_fft[col_num]]
+        eval_ok = np.array_equal(d_eval[k], p_eval_fft[col_num])
         path_ok = verify_column_path(column, col_num, root, spec)
         if not rand_ok:
             raise VerifierError("ColumnDegree", f"column {col_num}")

@@ -75,8 +75,36 @@ def keccak_f1600(lanes: list[int]) -> list[int]:
     return a
 
 
+_native_keccak = None
+_native_tried = False
+
+
+def _get_native():
+    global _native_keccak, _native_tried
+    if _native_tried:
+        return _native_keccak
+    _native_tried = True
+    try:
+        from ..native import native
+        lib = native()
+        if lib is not None:
+            _native_keccak = lib.pos_keccak_f1600
+    except Exception:
+        _native_keccak = None
+    return _native_keccak
+
+
 def keccak_f1600_bytes(state: bytearray) -> None:
-    """Apply Keccak-f[1600] in place to a 200-byte state (little-endian lanes)."""
+    """Apply Keccak-f[1600] in place to a 200-byte state (little-endian lanes).
+
+    Uses the C++ kernel when available (transcript appends hash the whole
+    p_random/p_eval rows — thousands of permutations per proof)."""
+    fn = _get_native()
+    if fn is not None:
+        import ctypes
+        buf = (ctypes.c_uint64 * 25).from_buffer(state)
+        fn(buf)
+        return
     lanes = [int.from_bytes(state[8 * i : 8 * i + 8], "little") for i in range(25)]
     lanes = keccak_f1600(lanes)
     for i, lane in enumerate(lanes):

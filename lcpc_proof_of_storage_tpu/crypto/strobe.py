@@ -43,25 +43,34 @@ class Strobe128:
         self.pos_begin = 0
 
     def _absorb(self, data: bytes) -> None:
-        for byte in data:
-            self.state[self.pos] ^= byte
-            self.pos += 1
+        i, n = 0, len(data)
+        while i < n:
+            take = min(STROBE_R - self.pos, n - i)
+            seg = (int.from_bytes(self.state[self.pos : self.pos + take], "little")
+                   ^ int.from_bytes(data[i : i + take], "little"))
+            self.state[self.pos : self.pos + take] = seg.to_bytes(take, "little")
+            self.pos += take
+            i += take
             if self.pos == STROBE_R:
                 self._run_f()
 
     def _overwrite(self, data: bytes) -> None:
-        for byte in data:
-            self.state[self.pos] = byte
-            self.pos += 1
+        i, n = 0, len(data)
+        while i < n:
+            take = min(STROBE_R - self.pos, n - i)
+            self.state[self.pos : self.pos + take] = data[i : i + take]
+            self.pos += take
+            i += take
             if self.pos == STROBE_R:
                 self._run_f()
 
     def _squeeze(self, n: int) -> bytes:
-        out = bytearray(n)
-        for i in range(n):
-            out[i] = self.state[self.pos]
-            self.state[self.pos] = 0
-            self.pos += 1
+        out = bytearray()
+        while len(out) < n:
+            take = min(STROBE_R - self.pos, n - len(out))
+            out += self.state[self.pos : self.pos + take]
+            self.state[self.pos : self.pos + take] = bytes(take)
+            self.pos += take
             if self.pos == STROBE_R:
                 self._run_f()
         return bytes(out)

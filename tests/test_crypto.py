@@ -134,3 +134,19 @@ def test_merlin_transcript_state_equality():
     assert t1.state_bytes() == t2.state_bytes()
     t1.append_message(b"b", b"1")
     assert t1.state_bytes() != t2.state_bytes()
+
+
+def test_profiling_helpers():
+    from lcpc_proof_of_storage_tpu.utils import profiling as prof
+    rec = prof.PhaseRecorder()
+    with rec.phase("cpu", actor="client"):
+        pass
+    with rec.phase("disk"):
+        pass
+    rep = rec.report()
+    assert "client/cpu" in rep and rep["client/cpu"]["count"] == 1
+    cost = prof.ntt_cost(128, 32768, 16, fused=True)
+    r = cost.report(0.3)
+    assert r["speed_of_light_ms"] > 0 and r["bound"] in ("compute", "memory")
+    assert prof.hash_columns_cost(128, 32768, 32).speed_of_light_s() > 0
+    assert prof.modmul_cost(1 << 20, 16).report(0.01)["fraction_of_sol"] is not None
