@@ -92,3 +92,19 @@ def cross_chip_ntt(x: jnp.ndarray, spec: FieldSpec, mesh: Mesh,
                    in_specs=(P(None, axis, None), P(axis, None, None)),
                    out_specs=P(None, axis, None))
     return fn(x, tw)
+
+
+def wide_encode_rows(coeff_rows: jnp.ndarray, spec: FieldSpec, n_cols: int,
+                     mesh: Mesh, axis: str = "d") -> jnp.ndarray:
+    """Ligero row encode for rows wider than one chip's budget: zero-pad to
+    n_cols (sharded) and run the cross-chip NTT.  Output codewords are
+    contiguously sharded on the column axis — exactly the layout the
+    column-hashing stage wants (each chip hashes its column block locally).
+
+    Bit-identical to ops.ntt.encode_rows (oracle: tests/test_cross_chip_ntt
+    ::test_wide_encode_rows)."""
+    b, npr, L = coeff_rows.shape
+    assert npr <= n_cols
+    padded = jnp.zeros((b, n_cols, L), dtype=coeff_rows.dtype)
+    padded = padded.at[:, :npr, :].set(coeff_rows)
+    return cross_chip_ntt(padded, spec, mesh, axis=axis)

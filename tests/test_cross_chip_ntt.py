@@ -44,3 +44,24 @@ def test_cross_chip_explicit_split(mesh):
     for n1 in (8, 64):
         got = np.asarray(cross_chip_ntt(X, spec, mesh, n1=n1))
         assert np.array_equal(got, ref), f"n1={n1}"
+
+
+def test_wide_encode_rows(mesh):
+    """Cross-chip wide-row Ligero encode == single-chip encode_rows, and the
+    column-sharded output hashes to the same commitment leaves."""
+    from lcpc_proof_of_storage_tpu.ops.ntt import encode_rows
+    from lcpc_proof_of_storage_tpu.ops.blake3_jax import hash_columns
+    from lcpc_proof_of_storage_tpu.parallel.cross_chip_ntt import wide_encode_rows
+    spec = FT63
+    lf = limb_field(spec)
+    rnd = random.Random(6)
+    n_per_row, n_cols, b = 256, 1024, 2
+    rows = [[rnd.randrange(spec.modulus) for _ in range(n_per_row)]
+            for _ in range(b)]
+    X = jnp.stack([lf.array(r) for r in rows])
+    ref = np.asarray(encode_rows(X, spec, n_cols))
+    got = np.asarray(wide_encode_rows(X, spec, n_cols, mesh))
+    assert np.array_equal(got, ref)
+    h_ref = np.asarray(hash_columns(jnp.asarray(ref), spec))
+    h_got = np.asarray(hash_columns(jnp.asarray(got), spec))
+    assert np.array_equal(h_got, h_ref)
