@@ -57,8 +57,48 @@ def native():
         fn.argtypes = [ctypes.c_int, u8p, ctypes.c_uint64, ctypes.c_uint64,
                        ctypes.c_uint64, ctypes.c_uint64]
         fn.restype = ctypes.c_int
+    lib.pos_colhash_new.argtypes = [ctypes.c_size_t]
+    lib.pos_colhash_new.restype = ctypes.c_void_p
+    lib.pos_colhash_update.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_size_t]
+    lib.pos_colhash_finalize.argtypes = [ctypes.c_void_p, u8p]
+    lib.pos_colhash_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+class NativeColumnHasher:
+    """Incremental multi-column Blake3 (zero-block prefixed) in C++."""
+
+    def __init__(self, n_cols: int):
+        self._lib = native()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self.n_cols = n_cols
+        self._h = self._lib.pos_colhash_new(n_cols)
+
+    def update_rows(self, rows_bytes) -> None:
+        """rows_bytes: (n_cols, k) uint8 array."""
+        import numpy as np
+        arr = np.ascontiguousarray(rows_bytes, dtype=np.uint8)
+        assert arr.shape[0] == self.n_cols
+        self._lib.pos_colhash_update(self._h, arr.tobytes(), arr.shape[1])
+
+    def finalize(self):
+        import numpy as np
+        out = (ctypes.c_uint8 * (32 * self.n_cols))()
+        self._lib.pos_colhash_finalize(self._h, out)
+        self._lib.pos_colhash_free(self._h)
+        self._h = None
+        return np.frombuffer(bytes(out), dtype="<u4").reshape(
+            self.n_cols, 8).astype(np.uint32)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            try:
+                self._lib.pos_colhash_free(self._h)
+            except Exception:
+                pass
 
 
 def blake3_native(data: bytes) -> bytes | None:

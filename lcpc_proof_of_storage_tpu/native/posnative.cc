@@ -182,6 +182,97 @@ void pos_blake3_columns(const uint8_t* data, size_t n_cols, size_t col_len,
 }
 
 // ---------------------------------------------------------------------------
+// Incremental multi-column Blake3 (the streaming storage accumulator)
+// ---------------------------------------------------------------------------
+//
+// Hashes N equal-length column byte streams simultaneously; each stream is
+// prefixed with the 32-byte zero block (the column-leaf convention).
+// Chunk-CV stacks use the pairwise-with-carry merge (== left-leaning tree).
+
+struct ColState {
+  uint8_t buf[1024];
+  uint32_t stack[54][8];
+  int depth;
+  int buf_len;
+  uint64_t chunk_counter;
+};
+
+struct PosColumnHasher {
+  size_t n_cols;
+  ColState* cols;
+};
+
+extern "C" PosColumnHasher* pos_colhash_new(size_t n_cols) {
+  PosColumnHasher* h = new PosColumnHasher;
+  h->n_cols = n_cols;
+  h->cols = new ColState[n_cols];
+  for (size_t i = 0; i < n_cols; i++) {
+    memset(h->cols[i].buf, 0, 32);      // zero-block prefix
+    h->cols[i].buf_len = 32;
+    h->cols[i].depth = 0;
+    h->cols[i].chunk_counter = 0;
+  }
+  return h;
+}
+
+static void colhash_absorb_chunk(ColState* c) {
+  // flush the buffered FULL chunk as a non-final chunk
+  uint32_t cv[8];
+  b3_chunk_cv(c->buf, 1024, c->chunk_counter, 0, cv);
+  c->chunk_counter++;
+  memcpy(c->stack[c->depth++], cv, 32);
+  uint64_t total = c->chunk_counter;
+  while ((total & 1) == 0 && c->depth >= 2) {
+    b3_parent(c->stack[c->depth - 2], c->stack[c->depth - 1], 0,
+              c->stack[c->depth - 2]);
+    c->depth--;
+    total >>= 1;
+  }
+  c->buf_len = 0;
+}
+
+// data: (n_cols, k) row-major — k more bytes for every column.
+extern "C" void pos_colhash_update(PosColumnHasher* h, const uint8_t* data,
+                                   size_t k) {
+  for (size_t i = 0; i < h->n_cols; i++) {
+    ColState* c = &h->cols[i];
+    const uint8_t* src = data + i * k;
+    size_t pos = 0;
+    while (pos < k) {
+      if (c->buf_len == 1024) colhash_absorb_chunk(c);
+      size_t take = 1024 - c->buf_len;
+      if (take > k - pos) take = k - pos;
+      memcpy(c->buf + c->buf_len, src + pos, take);
+      c->buf_len += (int)take;
+      pos += take;
+    }
+  }
+}
+
+extern "C" void pos_colhash_finalize(PosColumnHasher* h, uint8_t* out) {
+  for (size_t i = 0; i < h->n_cols; i++) {
+    ColState* c = &h->cols[i];
+    uint32_t cv[8];
+    int single = c->chunk_counter == 0;
+    b3_chunk_cv(c->buf, c->buf_len, c->chunk_counter, single, cv);
+    if (!single) {
+      // merge stack right-to-left; ROOT on the last merge
+      int d = c->depth;
+      while (d > 0) {
+        b3_parent(c->stack[d - 1], cv, d == 1, cv);
+        d--;
+      }
+    }
+    memcpy(out + 32 * i, cv, 32);
+  }
+}
+
+extern "C" void pos_colhash_free(PosColumnHasher* h) {
+  delete[] h->cols;
+  delete h;
+}
+
+// ---------------------------------------------------------------------------
 // ChaCha (rand_chacha layout: 64-bit counter words 12-13, stream words 14-15)
 // ---------------------------------------------------------------------------
 

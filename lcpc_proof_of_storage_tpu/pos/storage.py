@@ -161,8 +161,15 @@ class Blake3ColumnAccumulator:
     column: chunk-CV stack + buffered partial chunk; all vectorized numpy.
     """
 
-    def __init__(self, n_cols: int):
+    def __init__(self, n_cols: int, use_native: bool = True):
         self.n_cols = n_cols
+        self._native = None
+        if use_native:
+            try:
+                from ..native import NativeColumnHasher
+                self._native = NativeColumnHasher(n_cols)
+            except Exception:
+                self._native = None
         self.buf = np.zeros((n_cols, b3.CHUNK_LEN), np.uint8)
         self.buf_len = 32                          # zero block prefix
         self.chunk_counter = 0
@@ -172,6 +179,9 @@ class Blake3ColumnAccumulator:
     def update_rows(self, rows_bytes: np.ndarray) -> None:
         """rows_bytes: (n_cols, k) uint8 — k more bytes for every column."""
         assert rows_bytes.shape[0] == self.n_cols
+        if self._native is not None:
+            self._native.update_rows(rows_bytes)
+            return
         k = rows_bytes.shape[1]
         pos = 0
         while pos < k:
@@ -229,6 +239,8 @@ class Blake3ColumnAccumulator:
         """-> (n_cols, 8) uint32 digests."""
         assert not self.finalized
         self.finalized = True
+        if self._native is not None:
+            return self._native.finalize()
         self.buf[:, self.buf_len:] = 0      # zero block padding
         self._absorb_chunk(self.buf, self.buf_len, final=True)
         if self.chunk_counter == 0:

@@ -217,3 +217,30 @@ def _limbs_ints(limbs):
 def _row_major_poly(vals, n_rows, n_pre):
     padded = vals + [0] * (n_rows * n_pre - len(vals))
     return padded
+
+
+def test_native_column_accumulator_matches_python():
+    """C++ incremental hasher == numpy accumulator == one-shot blake3,
+    across chunk boundaries (incl. exact 992+32=1024 alignment)."""
+    from lcpc_proof_of_storage_tpu.crypto.blake3_ref import blake3
+    from lcpc_proof_of_storage_tpu.pos.storage import Blake3ColumnAccumulator
+
+    rng = np.random.default_rng(7)
+    cases = [(4, [0]), (4, [992]), (3, [500, 492]), (3, [500, 493]),
+             (5, [1024, 1024, 1]), (2, [3000, 1096, 17])]
+    for n_cols, chunks in cases:
+        total = sum(chunks)
+        data = (rng.integers(0, 256, size=(n_cols, total), dtype=np.uint8)
+                if total else np.zeros((n_cols, 0), np.uint8))
+        nat = Blake3ColumnAccumulator(n_cols, use_native=True)
+        py = Blake3ColumnAccumulator(n_cols, use_native=False)
+        pos = 0
+        for k in chunks:
+            nat.update_rows(data[:, pos:pos + k])
+            py.update_rows(data[:, pos:pos + k])
+            pos += k
+        dn, dp = nat.finalize(), py.finalize()
+        assert np.array_equal(dn, dp), (n_cols, chunks)
+        if nat._native is not None:  # oracle only meaningful when native ran
+            ref = blake3(b"\x00" * 32 + data[0].tobytes())
+            assert dn[0].astype("<u4").tobytes() == ref
