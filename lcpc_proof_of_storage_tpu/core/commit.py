@@ -18,7 +18,7 @@ import numpy as np
 
 from ..crypto.chacha import ChaChaRng, UniformUsize
 from ..crypto.transcript import Transcript
-from ..fields.field import FieldSpec, limbs_to_ints
+from ..fields.field import FieldSpec, ints_to_limbs, limbs_to_ints
 from ..fields.limb import limb_field
 from ..ops.blake3_jax import (
     bytes_to_digest, digest_to_bytes, digests_to_bytes,
@@ -270,9 +270,26 @@ def _collapse(coeff_mat: jnp.ndarray, tensor: list[int], spec: FieldSpec) -> lis
     return limbs_to_ints(np.asarray(out))
 
 
+@functools.lru_cache(maxsize=None)
+def _collapse2_fn(spec: FieldSpec):
+    lf = limb_field(spec)
+    return jax.jit(lambda c, ta, tb: (lf.dot(c, ta, axis=0),
+                                      lf.dot(c, tb, axis=0)))
+
+
+def _collapse2(coeff_mat: jnp.ndarray, tensor_a: list[int], tensor_b: list[int],
+               spec: FieldSpec) -> tuple[list[int], list[int]]:
+    """Two collapses against the same matrix in one device round trip."""
+    lf = limb_field(spec)
+    ta = lf.array(tensor_a)[:, None, :]
+    tb = lf.array(tensor_b)[:, None, :]
+    out_a, out_b = _collapse2_fn(spec)(coeff_mat, ta, tb)
+    return limbs_to_ints(np.asarray(out_a)), limbs_to_ints(np.asarray(out_b))
+
+
 def _append_coeffs(tr: Transcript, label: bytes, vals: list[int], spec: FieldSpec):
-    for v in vals:
-        tr.append_message(label, spec.to_repr(v))
+    msgs = b"".join(spec.to_repr(v) for v in vals)
+    tr.append_messages_batch(label, msgs, spec.repr_bytes, len(vals))
 
 
 def _columns_to_open(tr: Transcript, n_cols: int, n: int) -> list[int]:
@@ -290,14 +307,24 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
         raise ProverError("outer tensor: wrong size")
     spec = enc.spec
 
+    # The eval collapse uses only the caller-supplied outer tensor, so it
+    # shares a device round trip with the first degree-test collapse; the
+    # transcript evolution (squeeze rand_i -> append p_random_i -> ... ->
+    # append p_eval) is unchanged.
     p_random_vec = []
-    for _ in range(enc.get_n_degree_tests()):
+    p_eval = None
+    for i in range(enc.get_n_degree_tests()):
         rand_tensor = _challenge_tensor(tr, spec, comm.n_rows)
-        p_random = _collapse(comm.coeffs, rand_tensor, spec)
+        if i == 0:
+            p_random, p_eval = _collapse2(comm.coeffs, rand_tensor,
+                                          outer_tensor, spec)
+        else:
+            p_random = _collapse(comm.coeffs, rand_tensor, spec)
         _append_coeffs(tr, LABEL_PR, p_random, spec)
         p_random_vec.append(p_random)
 
-    p_eval = _collapse(comm.coeffs, outer_tensor, spec)
+    if p_eval is None:
+        p_eval = _collapse(comm.coeffs, outer_tensor, spec)
     _append_coeffs(tr, LABEL_PE, p_eval, spec)
 
     cols_to_open = _columns_to_open(tr, comm.n_cols, enc.get_n_col_opens())
@@ -317,15 +344,16 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
 # verify
 # --------------------------------------------------------------------------
 
-def _encode_row_limbs(vals: list[int], enc: LcEncoding) -> np.ndarray:
-    """Encode one coefficient row; returns (n_cols, L) limbs (the verifier
-    compares limb rows directly — converting 32k entries to python ints
-    per proof would dominate verify time)."""
+def _encode_rows_limbs(rows: list[list[int]], enc: LcEncoding) -> np.ndarray:
+    """Encode coefficient rows in ONE device call; returns (n, n_cols, L)
+    limbs (the verifier compares limb rows directly — converting 32k entries
+    to python ints per proof would dominate verify time)."""
     lf = limb_field(enc.spec)
-    row = jnp.zeros((1, enc.n_cols, lf.L), jnp.uint32).at[0, : len(vals), :].set(
-        lf.array(vals))
+    mat = np.zeros((len(rows), enc.n_cols, lf.L), np.uint32)
+    for i, vals in enumerate(rows):
+        mat[i, : len(vals), :] = ints_to_limbs(vals, enc.spec)
     encode = _enc_jit(enc, "encode_row", lambda: enc.encode)
-    return np.asarray(encode(row))[0]
+    return np.asarray(encode(jnp.asarray(mat)))
 
 
 def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
@@ -348,19 +376,25 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         raise VerifierError("EncodingDims")
 
     rand_tensor_vec = []
-    p_random_fft = []
     for i in range(enc.get_n_degree_tests()):
         rand_tensor = _challenge_tensor(tr, spec, n_rows)
         rand_tensor_vec.append(rand_tensor)
-        p_random_fft.append(_encode_row_limbs(proof.p_random_vec[i], enc))
         _append_coeffs(tr, LABEL_PR, proof.p_random_vec[i], spec)
 
     _append_coeffs(tr, LABEL_PE, proof.p_eval, spec)
     cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
-    p_eval_fft = _encode_row_limbs(proof.p_eval, enc)
 
-    # batched column dot products on device
-    cols_mat = jnp.stack([lf.array(c.col) for c in proof.columns])  # (k, rows, L)
+    # every re-encode (degree-test rows + eval row) in one device call —
+    # the encodes never touch the transcript, so hoisting them below the
+    # challenge squeezes leaves the Fiat-Shamir evolution unchanged
+    all_fft = _encode_rows_limbs(proof.p_random_vec + [proof.p_eval], enc)
+    p_random_fft = [all_fft[i] for i in range(enc.get_n_degree_tests())]
+    p_eval_fft = all_fft[-1]
+
+    # batched column dot products on device; one host->device conversion
+    flat_cols = [v for c in proof.columns for v in c.col]
+    cols_mat = jnp.asarray(
+        ints_to_limbs(flat_cols, spec).reshape(n_col_opens, n_rows, lf.L))
     rand_mats = jnp.stack([lf.array(t) for t in rand_tensor_vec])   # (ndt, rows, L)
     outer_mat = lf.array(outer_tensor)                              # (rows, L)
 

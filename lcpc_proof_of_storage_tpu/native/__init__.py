@@ -57,6 +57,21 @@ def native():
         fn.argtypes = [ctypes.c_int, u8p, ctypes.c_uint64, ctypes.c_uint64,
                        ctypes.c_uint64, ctypes.c_uint64]
         fn.restype = ctypes.c_int
+    lib.pos_strobe_new.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.pos_strobe_new.restype = ctypes.c_void_p
+    for name in ("pos_strobe_meta_ad", "pos_strobe_ad"):
+        fn = getattr(lib, name)
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+                       ctypes.c_int]
+    lib.pos_strobe_prf.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t,
+                                   ctypes.c_int]
+    lib.pos_strobe_append_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_size_t]
+    lib.pos_strobe_clone.argtypes = [ctypes.c_void_p]
+    lib.pos_strobe_clone.restype = ctypes.c_void_p
+    lib.pos_strobe_state.argtypes = [ctypes.c_void_p, u8p]
+    lib.pos_strobe_free.argtypes = [ctypes.c_void_p]
     lib.pos_colhash_new.argtypes = [ctypes.c_size_t]
     lib.pos_colhash_new.restype = ctypes.c_void_p
     lib.pos_colhash_update.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
@@ -97,6 +112,55 @@ class NativeColumnHasher:
         if getattr(self, "_h", None):
             try:
                 self._lib.pos_colhash_free(self._h)
+            except Exception:
+                pass
+
+
+class NativeStrobe:
+    """STROBE-128 duplex in C++ (same API subset as crypto.strobe.Strobe128)."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, protocol_label: bytes, _handle=None):
+        self._lib = native()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        if _handle is not None:
+            self._h = _handle
+        else:
+            self._h = self._lib.pos_strobe_new(protocol_label,
+                                               len(protocol_label))
+
+    def meta_ad(self, data: bytes, more: bool) -> None:
+        self._lib.pos_strobe_meta_ad(self._h, data, len(data), int(more))
+
+    def ad(self, data: bytes, more: bool) -> None:
+        self._lib.pos_strobe_ad(self._h, data, len(data), int(more))
+
+    def prf(self, n: int, more: bool) -> bytes:
+        out = (ctypes.c_uint8 * n)()
+        self._lib.pos_strobe_prf(self._h, out, n, int(more))
+        return bytes(out)
+
+    def append_batch(self, label: bytes, msgs: bytes, msg_len: int,
+                     count: int) -> None:
+        """merlin append_message(label, m) for `count` contiguous
+        equal-length messages, in one native call."""
+        self._lib.pos_strobe_append_batch(self._h, label, len(label),
+                                          msgs, msg_len, count)
+
+    def clone(self) -> "NativeStrobe":
+        return NativeStrobe(b"", _handle=self._lib.pos_strobe_clone(self._h))
+
+    def state_bytes(self) -> bytes:
+        out = (ctypes.c_uint8 * 203)()
+        self._lib.pos_strobe_state(self._h, out)
+        return bytes(out)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            try:
+                self._lib.pos_strobe_free(self._h)
             except Exception:
                 pass
 

@@ -360,6 +360,121 @@ void pos_keccak_f1600(uint64_t a[25]) {
 }
 
 // ---------------------------------------------------------------------------
+// STROBE-128 duplex (merlin transcript fast path)
+// ---------------------------------------------------------------------------
+//
+// Mirrors crypto/strobe.py (merlin-2.0/src/strobe.rs semantics): the state
+// layout, begin-op framing, and the state_bytes() snapshot must stay
+// bit-identical with the pure-python implementation (test oracle).
+
+enum {
+  STROBE_R = 166,
+  SF_I = 1, SF_A = 2, SF_C = 4, SF_T = 8, SF_M = 16, SF_K = 32,
+};
+
+struct PosStrobe {
+  alignas(8) uint8_t state[200];
+  uint8_t pos, pos_begin, cur_flags;
+};
+
+static void strobe_run_f(PosStrobe* s) {
+  s->state[s->pos] ^= s->pos_begin;
+  s->state[s->pos + 1] ^= 0x04;
+  s->state[STROBE_R + 1] ^= 0x80;
+  pos_keccak_f1600((uint64_t*)s->state);
+  s->pos = 0;
+  s->pos_begin = 0;
+}
+
+static void strobe_absorb(PosStrobe* s, const uint8_t* d, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    s->state[s->pos++] ^= d[i];
+    if (s->pos == STROBE_R) strobe_run_f(s);
+  }
+}
+
+static void strobe_squeeze(PosStrobe* s, uint8_t* o, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    o[i] = s->state[s->pos];
+    s->state[s->pos++] = 0;
+    if (s->pos == STROBE_R) strobe_run_f(s);
+  }
+}
+
+static void strobe_begin_op(PosStrobe* s, uint8_t flags) {
+  uint8_t hdr[2] = {s->pos_begin, flags};
+  s->pos_begin = s->pos + 1;
+  s->cur_flags = flags;
+  strobe_absorb(s, hdr, 2);
+  if ((flags & (SF_C | SF_K)) && s->pos != 0) strobe_run_f(s);
+}
+
+PosStrobe* pos_strobe_new(const uint8_t* label, size_t label_len) {
+  PosStrobe* s = new PosStrobe;
+  memset(s->state, 0, 200);
+  const uint8_t init[6] = {1, STROBE_R + 2, 1, 0, 1, 96};
+  memcpy(s->state, init, 6);
+  memcpy(s->state + 6, "STROBEv1.0.2", 12);
+  pos_keccak_f1600((uint64_t*)s->state);
+  s->pos = 0;
+  s->pos_begin = 0;
+  s->cur_flags = 0;
+  strobe_begin_op(s, SF_M | SF_A);   // meta_ad(label, more=false)
+  strobe_absorb(s, label, label_len);
+  return s;
+}
+
+void pos_strobe_meta_ad(PosStrobe* s, const uint8_t* d, size_t n, int more) {
+  if (!more) strobe_begin_op(s, SF_M | SF_A);
+  strobe_absorb(s, d, n);
+}
+
+void pos_strobe_ad(PosStrobe* s, const uint8_t* d, size_t n, int more) {
+  if (!more) strobe_begin_op(s, SF_A);
+  strobe_absorb(s, d, n);
+}
+
+void pos_strobe_prf(PosStrobe* s, uint8_t* out, size_t n, int more) {
+  if (!more) strobe_begin_op(s, SF_I | SF_A | SF_C);
+  strobe_squeeze(s, out, n);
+}
+
+// merlin append_message(label, msg), `count` times over equal-length
+// messages laid out contiguously: meta_ad(label) / meta_ad(len_le32, more)
+// / ad(msg) per message.  One native call replaces 3*count python STROBE
+// ops (the transcript cost of appending a collapsed row's coefficients).
+void pos_strobe_append_batch(PosStrobe* s, const uint8_t* label,
+                             size_t label_len, const uint8_t* msgs,
+                             size_t msg_len, size_t count) {
+  uint8_t len_le[4] = {
+      (uint8_t)msg_len, (uint8_t)(msg_len >> 8),
+      (uint8_t)(msg_len >> 16), (uint8_t)(msg_len >> 24)};
+  for (size_t i = 0; i < count; i++) {
+    strobe_begin_op(s, SF_M | SF_A);
+    strobe_absorb(s, label, label_len);
+    strobe_absorb(s, len_le, 4);
+    strobe_begin_op(s, SF_A);
+    strobe_absorb(s, msgs + i * msg_len, msg_len);
+  }
+}
+
+PosStrobe* pos_strobe_clone(const PosStrobe* s) {
+  PosStrobe* n = new PosStrobe;
+  memcpy(n, s, sizeof(PosStrobe));
+  return n;
+}
+
+// 203-byte snapshot: state || pos || pos_begin || cur_flags (test oracle).
+void pos_strobe_state(const PosStrobe* s, uint8_t* out) {
+  memcpy(out, s->state, 200);
+  out[200] = s->pos;
+  out[201] = s->pos_begin;
+  out[202] = s->cur_flags;
+}
+
+void pos_strobe_free(PosStrobe* s) { delete s; }
+
+// ---------------------------------------------------------------------------
 // Column-major strided file I/O (.porenc layout)
 // ---------------------------------------------------------------------------
 
