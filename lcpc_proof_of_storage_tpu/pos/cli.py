@@ -208,7 +208,16 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", args.platform)
     except Exception as exc:           # platform selection is best-effort
         logging.warning("could not select jax platform %s: %s", args.platform, exc)
-    args.fn(args)
+    from ..core.commit import ProverError, VerifierError
+    from .online import VerificationError
+    try:
+        args.fn(args)
+    except (VerificationError, VerifierError, ProverError) as exc:
+        # protocol-level audit failure, not a crash: the server's data or
+        # proof did not check out against the committed root
+        sys.exit(f"error: verification failed: {exc}")
+    except ConnectionError as exc:
+        sys.exit(f"error: cannot reach server: {exc}")
 
 
 if __name__ == "__main__":
