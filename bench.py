@@ -58,23 +58,24 @@ def main() -> None:
     # force real execution by reducing to a scalar on device and reading it
     # back (first readback of a session takes ~40-90s: tunnel claim).
     pipeline = _enc_jit(enc, "bench_pipeline", lambda: (
-        lambda cm: ((lambda comm: hash_columns(comm, enc.spec)
-                     .sum(dtype=jnp.uint32))
-                    (_encode_matrix(cm, enc, n_cols)))))
+        lambda cm, ops: ((lambda comm: hash_columns(comm, enc.spec)
+                          .sum(dtype=jnp.uint32))
+                         (_encode_matrix(cm, enc, n_cols, ops)))))
+    operands = enc.device_operands()
 
     t0 = time.time()
     _ = int(jnp.arange(4).sum())
     print(f"# session warmup readback: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    _ = int(pipeline(coeff_mat))
+    _ = int(pipeline(coeff_mat, operands))
     compile_time = time.time() - t0
     print(f"# first call (compile+run): {compile_time:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(iters):
         t0 = time.time()
-        _ = int(pipeline(coeff_mat))
+        _ = int(pipeline(coeff_mat, operands))
         times.append(time.time() - t0)
     best = min(times)
     elems_per_s = n / best

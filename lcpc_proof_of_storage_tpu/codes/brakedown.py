@@ -84,11 +84,14 @@ class BrakedownEncoding(LcEncoding):
         return n_degree_tests(LAMBDA, n_cols, field.num_bits - 1)
 
     # -- LcEncoding ----------------------------------------------------------
-    def encode(self, rows: jnp.ndarray) -> jnp.ndarray:
+    def encode(self, rows: jnp.ndarray, operands=None) -> jnp.ndarray:
         """rows: (batch, n_cols, L) buffer with the n_per_row coefficients in
         front (reference in-place semantics); output overwrites the buffer."""
         assert rows.shape[-2] == self.n_cols
-        return self._enc.encode(rows[:, : self.n_per_row, :])
+        return self._enc.encode(rows[:, : self.n_per_row, :], operands)
+
+    def device_operands(self):
+        return self._enc.device_operands()
 
     def get_dims(self, length: int) -> tuple[int, int, int]:
         n_rows = (length + self.n_per_row - 1) // self.n_per_row

@@ -121,7 +121,7 @@ class LigeroEncoding(LcEncoding):
         return n_per_row < n_cols and n_cols & (n_cols - 1) == 0 and n_cols > 0
 
     # -- LcEncoding ----------------------------------------------------------
-    def encode(self, rows: jnp.ndarray) -> jnp.ndarray:
+    def encode(self, rows: jnp.ndarray, operands=None) -> jnp.ndarray:
         assert rows.shape[-2] == self.n_cols
         if _use_pallas(self.n_cols):
             from ..ops.ntt_pallas import ntt_pallas

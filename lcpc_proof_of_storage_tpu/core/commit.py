@@ -160,21 +160,24 @@ def _enc_jit(enc: LcEncoding, name: str, make_fn):
     return cache[name]
 
 
-def _encode_matrix(coeff_mat: jnp.ndarray, enc: LcEncoding, n_cols: int):
+def _encode_matrix(coeff_mat: jnp.ndarray, enc: LcEncoding, n_cols: int,
+                   operands=None):
     n_rows, n_per_row, L = coeff_mat.shape
     padded = jnp.zeros((n_rows, n_cols, L), jnp.uint32).at[:, :n_per_row, :].set(coeff_mat)
-    return enc.encode(padded)
+    return enc.encode(padded, operands)
 
 
 def commit(coeffs, enc: LcEncoding) -> LcCommit:
     """lcpc-2d/src/lib.rs:651-700."""
     coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
 
+    # encode tables (Brakedown gather matrices) ride as jit arguments, not
+    # HLO literals — multi-MB embedded constants blow up compile payloads
     pipeline = _enc_jit(enc, "commit_pipeline", lambda: (
-        lambda cm: ((lambda comm: (comm, merkle_tree_device(
+        lambda cm, ops: ((lambda comm: (comm, merkle_tree_device(
                         hash_columns(comm, enc.spec), n_cols)))
-                    (_encode_matrix(cm, enc, n_cols)))))
-    comm, hashes_dev = pipeline(coeff_mat)
+                    (_encode_matrix(cm, enc, n_cols, ops)))))
+    comm, hashes_dev = pipeline(coeff_mat, enc.device_operands())
     hashes = np.asarray(hashes_dev)
     return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
                     n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)
@@ -352,8 +355,9 @@ def _encode_rows_limbs(rows: list[list[int]], enc: LcEncoding) -> np.ndarray:
     mat = np.zeros((len(rows), enc.n_cols, lf.L), np.uint32)
     for i, vals in enumerate(rows):
         mat[i, : len(vals), :] = ints_to_limbs(vals, enc.spec)
-    encode = _enc_jit(enc, "encode_row", lambda: enc.encode)
-    return np.asarray(encode(jnp.asarray(mat)))
+    encode = _enc_jit(enc, "encode_row",
+                      lambda: lambda m, ops: enc.encode(m, ops))
+    return np.asarray(encode(jnp.asarray(mat), enc.device_operands()))
 
 
 def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],

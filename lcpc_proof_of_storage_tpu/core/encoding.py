@@ -47,10 +47,21 @@ class LcEncoding(abc.ABC):
     spec: FieldSpec
 
     @abc.abstractmethod
-    def encode(self, rows: jnp.ndarray) -> jnp.ndarray:
+    def encode(self, rows: jnp.ndarray, operands=None) -> jnp.ndarray:
         """Encode rows: (batch, n_cols, L) with coefficients in the first
         n_per_row positions and zeros after -> (batch, n_cols, L) codewords.
-        (In-place buffer semantics of the reference's encode.)"""
+        (In-place buffer semantics of the reference's encode.)
+
+        `operands` is the pytree from device_operands(), threaded through
+        jit as runtime arguments; None falls back to closure-captured
+        tables (embedded in the compiled program as literals — fine for
+        small tables, fatal for Brakedown's multi-MB gather tables)."""
+
+    def device_operands(self):
+        """Large device-resident tables the encode needs, as a pytree to be
+        passed through jit as arguments (not baked into the HLO).  Must be
+        called OUTSIDE any trace.  Default: none."""
+        return ()
 
     @abc.abstractmethod
     def get_dims(self, length: int) -> tuple[int, int, int]:

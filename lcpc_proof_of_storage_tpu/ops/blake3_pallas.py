@@ -148,13 +148,23 @@ def _hash_call(msg_len_bytes: int, n_cols: int):
 
 
 def hash_columns_auto(comm: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
-    """hash_columns with automatic pallas selection (TPU + tiling fits)."""
+    """hash_columns with automatic pallas selection (TPU + tiling fits).
+
+    Column counts that aren't a tile multiple (Brakedown codeword widths
+    are irregular, e.g. 178850) hash the aligned prefix in the kernel and
+    only the remainder (< 256 columns) on the XLA path."""
     from ..codes.ligero import _use_pallas
+    from .blake3_jax import hash_columns
     n_cols = comm.shape[1]
     C = min(_HASH_TILE, n_cols)
-    if _use_pallas(max(n_cols, 256)) and n_cols % C == 0:
-        return hash_columns_pallas(comm, spec)
-    from .blake3_jax import hash_columns
+    if _use_pallas(max(n_cols, 256)):
+        if n_cols % C == 0:
+            return hash_columns_pallas(comm, spec)
+        main = (n_cols // _HASH_TILE) * _HASH_TILE
+        if main >= _HASH_TILE:
+            head = hash_columns_pallas(comm[:, :main, :], spec)
+            tail = hash_columns(comm[:, main:, :], spec)
+            return jnp.concatenate([head, tail], axis=0)
     return hash_columns(comm, spec)
 
 

@@ -208,12 +208,14 @@ def codeword_length(precodes: list, postcodes: list) -> int:
 class GatherMat:
     """Row-gather form of a sparse matrix: y[r] = sum_k vals[k,r]*x[idx[k,r]].
 
-    idx, vals are (K, rows[, L]) device arrays, K = max row-nnz, padded with
-    (index 0, value 0)."""
+    idx, vals are (K, rows[, L]) NUMPY arrays, K = max row-nnz, padded with
+    (index 0, value 0).  Kept on host: converting inside a jit trace would
+    bake multi-MB tables into the HLO as literals; callers thread device
+    copies through jit arguments instead (ExpanderEncoder.device_operands)."""
     rows: int
     cols: int
-    idx: jnp.ndarray
-    vals: jnp.ndarray
+    idx: np.ndarray
+    vals: np.ndarray
 
 
 def to_gather(mat: SparseCode, field: FieldSpec) -> GatherMat:
@@ -229,29 +231,35 @@ def to_gather(mat: SparseCode, field: FieldSpec) -> GatherMat:
         for k, (j, v) in enumerate(entries):
             idx[k, r] = j
             vals[k, r] = ints_to_limbs([v], field)[0]
-    return GatherMat(rows=mat.rows, cols=mat.cols,
-                     idx=jnp.asarray(idx), vals=jnp.asarray(vals))
+    return GatherMat(rows=mat.rows, cols=mat.cols, idx=idx, vals=vals)
 
 
-def gather_matvec(gm: GatherMat, x: jnp.ndarray, field: FieldSpec) -> jnp.ndarray:
+def gather_matvec(gm: GatherMat, x: jnp.ndarray, field: FieldSpec,
+                  tables=None) -> jnp.ndarray:
     """y = A x for batched x (b, cols, L) -> (b, rows, L).
 
     fori_loop over the K gather slots: one gather + one exact limb product
     per slot, accumulated unreduced (K < 2^15), one Barrett at the end.
     On a single TPU device the fused Pallas kernel handles G slots per
-    VMEM pass (ops/expander_pallas.py)."""
+    VMEM pass (ops/expander_pallas.py).
+
+    `tables` is this matrix's entry from ExpanderEncoder.device_operands()
+    (device arrays passed through jit as arguments); None embeds the numpy
+    tables as compiled constants (small cases / tests only)."""
     from ..codes.ligero import _use_pallas
     if _use_pallas(256):
         from .expander_pallas import gather_matvec_fused
-        return gather_matvec_fused(gm, x, field)
+        return gather_matvec_fused(gm, x, field, tables=tables)
     lf = limb_field(field)
     K = gm.idx.shape[0]
     b = x.shape[0]
+    idx_t, vals_t = tables if tables is not None else (
+        jnp.asarray(gm.idx), jnp.asarray(gm.vals))
     acc0 = jnp.zeros((b, gm.rows, 2 * lf.L + 2), jnp.uint32)
 
     def body(k, acc):
-        idx_k = jax.lax.dynamic_index_in_dim(gm.idx, k, 0, keepdims=False)
-        val_k = jax.lax.dynamic_index_in_dim(gm.vals, k, 0, keepdims=False)
+        idx_k = jax.lax.dynamic_index_in_dim(idx_t, k, 0, keepdims=False)
+        val_k = jax.lax.dynamic_index_in_dim(vals_t, k, 0, keepdims=False)
         xg = jnp.take(x, idx_k, axis=1)             # (b, rows, L)
         prod = lf._mul_raw(val_k[None], xg)         # (b, rows, 2L) exact
         return acc.at[..., : 2 * lf.L].add(prod)
@@ -285,17 +293,41 @@ class ExpanderEncoder:
         self.postcodes = [to_gather(m, field) for m in self.postcodes_sp]
         rs_len = self.postcodes_sp[-1].cols
         self.vander = vandermonde_matrix(rs_len, self.precodes_sp[-1].rows, field)
+        self._device_operands = None
 
-    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+    def device_operands(self):
+        """Per-matrix device tables as a jit-argument pytree, in the layout
+        the active gather path consumes (fused Pallas on TPU, plain XLA
+        gather otherwise).  Built once, outside any trace."""
+        if self._device_operands is None:
+            from ..codes.ligero import _use_pallas
+            if _use_pallas(256):
+                from .expander_pallas import _fused_tables
+                def tab(gm):
+                    idx_g, vals_g, _, _, _ = _fused_tables(gm, self.field)
+                    return (jnp.asarray(idx_g), jnp.asarray(vals_g))
+            else:
+                def tab(gm):
+                    return (jnp.asarray(gm.idx), jnp.asarray(gm.vals))
+            self._device_operands = {
+                "pre": [tab(gm) for gm in self.precodes],
+                "post": [tab(gm) for gm in self.postcodes],
+            }
+        return self._device_operands
+
+    def encode(self, x: jnp.ndarray, operands=None) -> jnp.ndarray:
         """(b, n_per_row, L) -> (b, codeword_len, L) following encode.rs:36-95."""
         lf = limb_field(self.field)
         nl = len(self.precodes)
+        pre_t = operands["pre"] if operands else [None] * nl
+        post_t = operands["post"] if operands else [None] * nl
         parts = [x]                              # parts[i] = input to level i
         cur = x
-        for pc in self.precodes[:-1]:
-            cur = gather_matvec(pc, cur, self.field)
+        for i, pc in enumerate(self.precodes[:-1]):
+            cur = gather_matvec(pc, cur, self.field, tables=pre_t[i])
             parts.append(cur)
-        temp = gather_matvec(self.precodes[-1], cur, self.field)
+        temp = gather_matvec(self.precodes[-1], cur, self.field,
+                             tables=pre_t[nl - 1])
         # RS base case: out[r] = sum_j temp[j] * (r+1)^j
         rs = lf.dot(self.vander[None], temp[:, None, :, :], axis=-2)
         parts.append(rs)
@@ -303,7 +335,8 @@ class ExpanderEncoder:
             zin = jnp.concatenate(parts[i + 1:], axis=1)
             assert zin.shape[1] == self.postcodes[i].cols, (
                 zin.shape, self.postcodes[i].cols)
-            parts.append(gather_matvec(self.postcodes[i], zin, self.field))
+            parts.append(gather_matvec(self.postcodes[i], zin, self.field,
+                                       tables=post_t[i]))
         out = jnp.concatenate(parts, axis=1)
         assert out.shape[1] == self.codeword_len
         return out

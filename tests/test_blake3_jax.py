@@ -100,3 +100,30 @@ def test_hash_columns_pallas_matches(monkeypatch):
     got = np.asarray(bp.hash_columns_pallas(comm, spec))
     bp._hash_call.cache_clear()
     assert np.array_equal(got, ref)
+
+
+def test_hash_columns_split_tail_matches(monkeypatch):
+    """Non-tile-multiple widths: pallas prefix + XLA tail == full oracle."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+    import lcpc_proof_of_storage_tpu.ops.blake3_pallas as bp
+    bp._hash_call.cache_clear()
+    rnd = random.Random(9)
+    spec = FT63
+    lf = limb_field(spec)
+    n_rows, n_cols = 3, 256 + 37          # irregular Brakedown-style width
+    vals = [[rnd.randrange(spec.modulus) for _ in range(n_cols)]
+            for _ in range(n_rows)]
+    comm = jnp.stack([lf.array(r) for r in vals])
+    ref = np.asarray(hash_columns(comm, spec))
+    main = 256
+    head = np.asarray(bp.hash_columns_pallas(comm[:, :main, :], spec))
+    tail = np.asarray(hash_columns(comm[:, main:, :], spec))
+    bp._hash_call.cache_clear()
+    assert np.array_equal(np.concatenate([head, tail], axis=0), ref)
