@@ -25,8 +25,11 @@ LAMBDA = 128
 
 
 def _use_pallas(n_cols: int) -> bool:
-    """Fused Pallas butterfly kernels: TPU backend, big-enough rows, and a
-    single device (the multi-chip GSPMD path keeps the XLA formulation)."""
+    """Fused Pallas butterfly kernels: TPU backend and big-enough rows.
+
+    Multi-device pipelines must route encode/hash through shard_map
+    (parallel/sharded.py) so the Pallas kernels see per-shard local shapes;
+    bare GSPMD jit cannot partition a Pallas call."""
     import os
     if os.environ.get("LCPC_NO_PALLAS"):
         return False
@@ -35,7 +38,7 @@ def _use_pallas(n_cols: int) -> bool:
         backend = jax.default_backend()
     except Exception:
         return False
-    return backend not in ("cpu",) and n_cols >= 256 and len(jax.devices()) == 1
+    return backend not in ("cpu",) and n_cols >= 256
 
 
 class LigeroEncoding(LcEncoding):

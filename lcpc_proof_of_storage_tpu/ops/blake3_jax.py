@@ -166,7 +166,11 @@ def blake3_batch_words(msg_words: jnp.ndarray, msg_len_bytes: int) -> jnp.ndarra
         cv = jnp.where((act > 0)[None, :, None], new, cv)
         return cv, None
 
-    cv0 = jnp.broadcast_to(jnp.asarray(IV), (batch, nchunks, 8))
+    # under shard_map the scanned message is varying over the mesh axes;
+    # the initial carry must match or the scan's type check rejects it
+    from .vma import match_vma
+    cv0 = match_vma(jnp.broadcast_to(jnp.asarray(IV), (batch, nchunks, 8)),
+                    msg_words)
     cvs, _ = jax.lax.scan(
         block_step, cv0,
         (chunks, jnp.asarray(lens), jnp.asarray(flags), jnp.asarray(active)))

@@ -264,7 +264,8 @@ def gather_matvec(gm: GatherMat, x: jnp.ndarray, field: FieldSpec,
         prod = lf._mul_raw(val_k[None], xg)         # (b, rows, 2L) exact
         return acc.at[..., : 2 * lf.L].add(prod)
 
-    acc = jax.lax.fori_loop(0, K, body, acc0)
+    from .vma import match_vma
+    acc = jax.lax.fori_loop(0, K, body, match_vma(acc0, x))
     return lf.barrett_reduce(lf._carry_norm(acc, 2 * lf.L + 2))
 
 

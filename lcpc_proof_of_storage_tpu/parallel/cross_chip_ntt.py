@@ -27,14 +27,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields.field import FieldSpec, ints_to_limbs
 from ..fields.limb import limb_field
-from ..ops.ntt import ntt
+from ..ops.ntt import intt, ntt
 
 
 @functools.lru_cache(maxsize=None)
-def _cross_twiddles(spec: FieldSpec, n1: int, n2: int) -> np.ndarray:
-    """(n1, n2, L): w_n^(j1*k2)."""
+def _cross_twiddles(spec: FieldSpec, n1: int, n2: int,
+                    inverse: bool = False) -> np.ndarray:
+    """(n1, n2, L): w_n^(j1*k2) (w^-1 powers for the inverse transform)."""
     n = n1 * n2
     w = spec.nth_root_of_unity(n)
+    if inverse:
+        w = spec.inv(w)
     p = spec.modulus
     rows = []
     for j1 in range(n1):
@@ -47,12 +50,15 @@ def _cross_twiddles(spec: FieldSpec, n1: int, n2: int) -> np.ndarray:
 
 
 def cross_chip_ntt(x: jnp.ndarray, spec: FieldSpec, mesh: Mesh,
-                   axis: str = "d", n1: int | None = None) -> jnp.ndarray:
+                   axis: str = "d", n1: int | None = None,
+                   inverse: bool = False) -> jnp.ndarray:
     """NTT along axis -2 of x (batch, n, L), n sharded over `mesh`.
 
     Returns the natural-order transform, contiguously sharded on the same
     axis.  Bit-identical to the single-chip ntt (oracle:
-    tests/test_cross_chip_ntt.py)."""
+    tests/test_cross_chip_ntt.py).  With inverse=True this is the four-step
+    factorization of the inverse transform: local iNTTs carry the 1/n2 and
+    1/n1 scalings (product 1/n) and the middle twiddles use w^-1."""
     batch, n, L = x.shape
     D = mesh.devices.size
     if n1 is None:
@@ -62,7 +68,8 @@ def cross_chip_ntt(x: jnp.ndarray, spec: FieldSpec, mesh: Mesh,
     n2 = n // n1
     assert n1 * n2 == n and n1 % D == 0 and n2 % D == 0, (n1, n2, D)
     lf = limb_field(spec)
-    tw = jnp.asarray(_cross_twiddles(spec, n1, n2))
+    local_ntt = intt if inverse else ntt
+    tw = jnp.asarray(_cross_twiddles(spec, n1, n2, inverse))
 
     def local_fn(xl, twl):
         # xl: (batch, n/D, L) = j2-local-range x all j1; twl: (n1/D, n2, L)
@@ -72,7 +79,7 @@ def cross_chip_ntt(x: jnp.ndarray, spec: FieldSpec, mesh: Mesh,
                                 tiled=True)
         # inner NTT over j2 (size n2)
         xm = jnp.transpose(xm, (0, 2, 1, 3))            # (b, n1/D, n2, L)
-        xm = ntt(xm.reshape(-1, n2, L), spec).reshape(batch, n1 // D, n2, L)
+        xm = local_ntt(xm.reshape(-1, n2, L), spec).reshape(batch, n1 // D, n2, L)
         # twiddle w^(j1*k2) (j1 local chunk)
         xm = lf.mul(xm, twl[None])
         # a2a 2: split k2, concat j1 -> (batch, n1, n2/D, L)
@@ -80,7 +87,7 @@ def cross_chip_ntt(x: jnp.ndarray, spec: FieldSpec, mesh: Mesh,
         xm = jax.lax.all_to_all(xm, axis, split_axis=1, concat_axis=2,
                                 tiled=True)             # (b, n2/D, n1, L)
         # outer NTT over j1 (size n1) -> R[k1, k2_loc]
-        xm = ntt(xm.reshape(-1, n1, L), spec).reshape(batch, n2 // D, n1, L)
+        xm = local_ntt(xm.reshape(-1, n1, L), spec).reshape(batch, n2 // D, n1, L)
         # a2a 3: split k1, concat k2 -> k1 sharded, k2 local
         xm = jnp.transpose(xm, (0, 2, 1, 3))            # (b, n1, n2/D, L)
         xm = jax.lax.all_to_all(xm, axis, split_axis=1, concat_axis=2,

@@ -43,17 +43,52 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def _sharded_pipeline(enc: LcEncoding, mesh: Mesh, n_cols: int, axis: str = "d"):
-    row_sharding = NamedSharding(mesh, P(axis, None, None))
-    col_sharding = NamedSharding(mesh, P(None, axis, None))
-    leaf_sharding = NamedSharding(mesh, P(axis, None))
+def _sharded_pipeline(enc: LcEncoding, mesh: Mesh, n_rows: int, n_cols: int,
+                      axis: str = "d"):
+    """Build the jitted sharded encode+hash pipeline.
 
-    def f(coeff_mat):
-        cm = jax.lax.with_sharding_constraint(coeff_mat, row_sharding)
-        comm = _encode_matrix(cm, enc, n_cols)          # local batch NTT
-        comm = jax.lax.with_sharding_constraint(comm, col_sharding)  # all-to-all
+    shard_map (not bare GSPMD constraints) so every chip runs the *local*
+    kernels on local shapes — that is what lets the fused Pallas NTT/hash
+    kernels (which don't auto-partition) run per-shard, and it makes the
+    one all-to-all reshard (row-sharded -> column-sharded) explicit.
+
+    Row/column counts need not divide the mesh: rows are zero-padded before
+    encoding (extra zero rows are sliced off again before hashing, so
+    column digests are untouched) and columns are zero-padded after
+    encoding (the padded columns' digests are sliced off before the Merkle
+    build, which re-pads with zero digests exactly like the single-chip
+    path, lcpc-2d/src/lib.rs:685-694).
+    """
+    D = mesh.devices.size
+    rows_pad = (-n_rows) % D
+    cols_pad = (-n_cols) % D
+    ops_example = enc.device_operands()
+
+    def local(cm, ops):
+        # cm: (rows_p/D, n_per_row, L) local rows
+        comm = _encode_matrix(cm, enc, n_cols, ops)     # local batch encode
+        if cols_pad:
+            comm = jnp.pad(comm, ((0, 0), (0, cols_pad), (0, 0)))
+        # one a2a: row-sharded -> column-sharded (all rows, a column block)
+        comm = jax.lax.all_to_all(comm, axis, split_axis=1, concat_axis=0,
+                                  tiled=True)           # (rows_p, cols_p/D, L)
+        if rows_pad:
+            comm = comm[:n_rows]                        # padding must not hash
         leaves = hash_columns(comm, enc.spec)           # local column hashing
-        leaves = jax.lax.with_sharding_constraint(leaves, leaf_sharding)
+        return comm, leaves
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), jax.tree.map(lambda _: P(), ops_example)),
+        out_specs=(P(None, axis, None), P(axis, None)))
+
+    def f(coeff_mat, ops):
+        if rows_pad:
+            coeff_mat = jnp.pad(coeff_mat, ((0, rows_pad), (0, 0), (0, 0)))
+        comm, leaves = fn(coeff_mat, ops)
+        if cols_pad:
+            comm = comm[:, :n_cols]
+            leaves = leaves[:n_cols]
         return comm, leaves
 
     return jax.jit(f)
@@ -63,26 +98,26 @@ def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh, axis: str = "d") -> LcCo
     """Drop-in commit() that runs the heavy pipeline sharded over `mesh`.
 
     Produces a bit-identical commitment to the single-chip path (oracle:
-    tests/test_sharded.py root equality).
+    tests/test_sharded.py root equality) for Ligero AND Brakedown — the
+    encode tables (Brakedown gather matrices) ride as replicated jit
+    arguments, never as HLO literals.
     """
     coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
-    assert n_rows % mesh.devices.size == 0 or n_rows >= mesh.devices.size, (
-        "row count should not be smaller than the mesh")
-    pipeline = _enc_mesh_jit(enc, mesh, n_cols, axis)
-    comm, leaves = pipeline(coeff_mat)
+    pipeline = _enc_mesh_jit(enc, mesh, n_rows, n_cols, axis)
+    comm, leaves = pipeline(coeff_mat, enc.device_operands())
     hashes = merkle_hashes_from_leaves(leaves, n_cols)
     return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
                     n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)
 
 
-def _enc_mesh_jit(enc, mesh, n_cols, axis):
+def _enc_mesh_jit(enc, mesh, n_rows, n_cols, axis):
     cache = getattr(enc, "_mesh_jit_cache", None)
     if cache is None:
         cache = {}
         enc._mesh_jit_cache = cache
-    key = (id(mesh), n_cols, axis)
+    key = (id(mesh), n_rows, n_cols, axis)
     if key not in cache:
-        cache[key] = _sharded_pipeline(enc, mesh, n_cols, axis)
+        cache[key] = _sharded_pipeline(enc, mesh, n_rows, n_cols, axis)
     return cache[key]
 
 
@@ -105,19 +140,53 @@ def sharded_collapse(coeff_mat: jnp.ndarray, tensor_limbs: jnp.ndarray,
 def training_step(enc: LcEncoding, mesh: Mesh, axis: str = "d"):
     """One full sharded 'step': encode + hash + Merkle leaves + two tensor
     collapses (degree test + eval rows) — the complete device-side work of
-    commit+prove.  Returns a jitted fn(coeff_mat, rand_tensor, outer_tensor).
+    commit+prove.  Returns a jitted fn(coeff_mat, rand_tensor, outer_tensor)
+    (row counts must divide the mesh; the commit path pads, this one is the
+    dryrun/bench entry and keeps shapes exact).
+
+    shard_map-local kernels + explicit collectives: the encode/hash run on
+    local shards; the collapses psum canonical per-shard partials over the
+    mesh (modular addition of D canonical values: limbwise uint32 sums stay
+    < 2^32 for any real mesh, one Barrett finishes).
     """
     lf = limb_field(enc.spec)
-    row_sharding = NamedSharding(mesh, P(axis, None, None))
-    col_sharding = NamedSharding(mesh, P(None, axis, None))
+    n_cols = enc.n_cols
+    D = mesh.devices.size
+    cols_pad = (-n_cols) % D
+    ops_example = enc.device_operands()
 
-    def f(coeff_mat, rand_tensor, outer_tensor):
-        cm = jax.lax.with_sharding_constraint(coeff_mat, row_sharding)
-        comm = _encode_matrix(cm, enc, enc.n_cols)
-        comm = jax.lax.with_sharding_constraint(comm, col_sharding)
+    def psum_dot(cm, t):
+        part = lf.dot(cm, t[:, None, :], axis=0)        # local partial, canonical
+        s = jax.lax.psum(part, axis)                    # limbwise sums < D*2^16
+        return lf.barrett_reduce(lf._carry_norm(s, lf.L + 2))
+
+    def local(cm, rand_t, outer_t, ops):
+        comm = _encode_matrix(cm, enc, n_cols, ops)
+        if cols_pad:
+            comm = jnp.pad(comm, ((0, 0), (0, cols_pad), (0, 0)))
+        comm = jax.lax.all_to_all(comm, axis, split_axis=1, concat_axis=0,
+                                  tiled=True)
         leaves = hash_columns(comm, enc.spec)
-        p_random = lf.dot(cm, rand_tensor[:, None, :], axis=0)
-        p_eval = lf.dot(cm, outer_tensor[:, None, :], axis=0)
+        p_random = psum_dot(cm, rand_t)
+        p_eval = psum_dot(cm, outer_t)
         return comm, leaves, p_random, p_eval
 
-    return jax.jit(f)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
+                  jax.tree.map(lambda _: P(), ops_example)),
+        out_specs=(P(None, axis, None), P(axis, None),
+                   P(None, None), P(None, None)))
+
+    @jax.jit
+    def f(coeff_mat, rand_tensor, outer_tensor, ops):
+        comm, leaves, p_random, p_eval = fn(coeff_mat, rand_tensor,
+                                            outer_tensor, ops)
+        if cols_pad:
+            comm = comm[:, :n_cols]
+            leaves = leaves[:n_cols]
+        return comm, leaves, p_random, p_eval
+
+    # ops stay a call-time argument (never HLO literals); bind them here so
+    # callers keep the fn(coeff_mat, rand, outer) signature
+    return lambda cm, r, o: f(cm, r, o, enc.device_operands())

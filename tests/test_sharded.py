@@ -69,6 +69,39 @@ def test_training_step_runs_sharded(mesh):
     assert leaves.shape == (enc.n_cols, 8)
 
 
+def test_sharded_brakedown_commit_matches_single_chip(mesh):
+    """Brakedown under the mesh: the gather tables ride as replicated jit
+    arguments and the irregular codeword length exercises the column-padding
+    path (n_cols is never a multiple of the mesh)."""
+    from lcpc_proof_of_storage_tpu.codes.brakedown import BrakedownEncoding
+
+    spec = FT63
+    rnd = random.Random(11)
+    length = 2000
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(length)]
+    enc = BrakedownEncoding.new(length, seed=0, field=spec)
+    assert enc.n_cols % 8 != 0  # irregular codeword length on an 8-mesh
+    single = commit(coeffs, enc)
+    shard = sharded_commit(coeffs, enc, mesh)
+    assert np.array_equal(shard.hashes, single.hashes)
+    assert np.array_equal(np.asarray(shard.comm), np.asarray(single.comm))
+
+
+def test_sharded_commit_row_count_not_divisible(mesh):
+    """Row padding: n_rows not a multiple of the mesh still hashes only the
+    real rows (padded zero rows would change every column digest)."""
+    spec = FT63
+    rnd = random.Random(12)
+    enc = LigeroEncoding.new_from_dims(32, 64, spec)
+    length = 32 * 13  # 13 rows on an 8-mesh
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(length)]
+    single = commit(coeffs, enc)
+    shard = sharded_commit(coeffs, enc, mesh)
+    assert shard.n_rows == 13
+    assert np.array_equal(shard.hashes, single.hashes)
+    assert np.array_equal(np.asarray(shard.comm), np.asarray(single.comm))
+
+
 def test_sharded_commit_proves_and_verifies(mesh):
     spec = FT63
     rnd = random.Random(5)
