@@ -126,14 +126,27 @@ class LigeroEncoding(LcEncoding):
     # -- LcEncoding ----------------------------------------------------------
     def encode(self, rows: jnp.ndarray, operands=None) -> jnp.ndarray:
         assert rows.shape[-2] == self.n_cols
+        if self.mesh is not None:
+            return self.encode_wide(rows)
         if _use_pallas(self.n_cols):
             from ..ops.ntt_pallas import ntt_pallas
             # rows carry coefficients only in the first n_per_row slots
             return ntt_pallas(rows, self.spec, n_nonzero=self.n_per_row)
         return ntt(rows, self.spec)
 
+    def encode_wide(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """Cross-chip four-step NTT over the mesh (column axis sharded) —
+        rows wider than one chip's budget.  Call eagerly: the cross-chip
+        twiddles must ride as shard_map arguments, not outer-jit literals."""
+        from ..parallel.cross_chip_ntt import cross_chip_ntt
+        return cross_chip_ntt(rows, self.spec, self.mesh, axis=self.mesh_axis)
+
     def decode(self, rows: jnp.ndarray) -> jnp.ndarray:
         """Inverse (ifft_oi analogue, used by the PoS read path)."""
+        if self.mesh is not None:
+            from ..parallel.cross_chip_ntt import cross_chip_ntt
+            return cross_chip_ntt(rows, self.spec, self.mesh,
+                                  axis=self.mesh_axis, inverse=True)
         if _use_pallas(self.n_cols):
             from ..ops.ntt_pallas import ntt_pallas
             return ntt_pallas(rows, self.spec, inverse=True)

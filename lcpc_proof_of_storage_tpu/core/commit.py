@@ -42,11 +42,48 @@ class VerifierError(Exception):
         super().__init__(f"{kind}: {msg}" if msg else kind)
 
 
-@dataclass
 class LcColumn:
-    """One opened column + Merkle path (lcpc-2d/src/lib.rs:424-433)."""
-    col: list[int]                 # field values down the column
-    path: list[bytes]              # sibling digests, leaf->root
+    """One opened column + Merkle path (lcpc-2d/src/lib.rs:424-433).
+
+    The prover stores the column as a (n_rows, L) uint32 limb array and
+    converts to python ints only when something (serde, host math) asks —
+    at 2^20 a proof opens ~190 columns x 2048 rows, and eagerly building
+    400k python ints dominated prove().  Both forms are accepted."""
+
+    __slots__ = ("_col", "_limbs", "_spec", "path")
+
+    def __init__(self, col: list[int] | None = None, path: list[bytes] = (),
+                 col_limbs: np.ndarray | None = None, spec: FieldSpec = None):
+        assert col is not None or (col_limbs is not None and spec is not None)
+        self._col = col
+        self._limbs = col_limbs
+        self._spec = spec
+        self.path = list(path)
+
+    @property
+    def col(self) -> list[int]:
+        if self._col is None:
+            self._col = limbs_to_ints(np.asarray(self._limbs))
+        return self._col
+
+    def col_limbs(self, spec: FieldSpec) -> np.ndarray:
+        """(n_rows, L) uint32 limbs of the column values.  A materialized
+        .col list is authoritative (callers may have mutated it), so it is
+        re-converted on every call; the limb fast path only serves proofs
+        whose ints were never materialized."""
+        if self._col is not None:
+            return ints_to_limbs(self._col, spec)
+        return self._limbs
+
+    def __len__(self):
+        return self._limbs.shape[0] if self._limbs is not None else len(self._col)
+
+    def __eq__(self, other):
+        return (isinstance(other, LcColumn) and self.col == other.col
+                and self.path == other.path)
+
+    def __repr__(self):
+        return f"LcColumn(n_rows={len(self)}, path_len={len(self.path)})"
 
 
 @dataclass
@@ -171,6 +208,13 @@ def commit(coeffs, enc: LcEncoding) -> LcCommit:
     """lcpc-2d/src/lib.rs:651-700."""
     coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
 
+    if enc.mesh is not None:
+        # wide-row mode: encoded columns sharded over the mesh, cross-chip
+        # NTT encode, shard-local hashing (parallel/wide.py)
+        from ..parallel.wide import wide_commit_from_matrix
+        return wide_commit_from_matrix(coeff_mat, (n_rows, n_per_row, n_cols),
+                                       enc)
+
     # encode tables (Brakedown gather matrices) ride as jit arguments, not
     # HLO literals — multi-MB embedded constants blow up compile payloads
     pipeline = _enc_jit(enc, "commit_pipeline", lambda: (
@@ -196,13 +240,15 @@ def check_comm(comm: LcCommit, enc: LcEncoding) -> None:
 # column opening
 # --------------------------------------------------------------------------
 
-def open_column(comm: LcCommit, column: int) -> LcColumn:
+def open_column(comm: LcCommit, column: int, spec: FieldSpec | None = None) -> LcColumn:
     """lcpc-2d/src/lib.rs:818-855."""
     if column >= comm.n_cols:
         raise ProverError("bad column number")
-    col_vals = limbs_to_ints(np.asarray(comm.comm[:, column, :]))
+    limbs = np.asarray(comm.comm[:, column, :])
     path = merkle_path(comm.hashes, comm.n_cols, column)
-    return LcColumn(col=col_vals, path=path)
+    if spec is not None:
+        return LcColumn(col_limbs=limbs, spec=spec, path=path)
+    return LcColumn(col=limbs_to_ints(limbs), path=path)
 
 
 def merkle_path(hashes: np.ndarray, n_cols: int, column: int) -> list[bytes]:
@@ -222,15 +268,12 @@ def merkle_path(hashes: np.ndarray, n_cols: int, column: int) -> list[bytes]:
 
 def verify_column_path(column: LcColumn, col_num: int, root: bytes,
                        spec: FieldSpec) -> bool:
-    """lcpc-2d/src/lib.rs:985-1008 (host, per column)."""
+    """lcpc-2d/src/lib.rs:985-1008 (host, per column).  The batch verifier
+    hashes all leaves on device instead (_column_checks_fn); this stays as
+    the single-column entry point (PoS helpers, tests)."""
     from ..crypto.blake3_ref import blake3
     msg = b"\x00" * 32 + b"".join(spec.to_repr(v) for v in column.col)
-    h = blake3(msg)
-    col = col_num
-    for p in column.path:
-        h = blake3(h + p) if col % 2 == 0 else blake3(p + h)
-        col >>= 1
-    return h == root
+    return _fold_path(blake3(msg), col_num, column.path) == root
 
 
 # --------------------------------------------------------------------------
@@ -254,15 +297,31 @@ def _collapse_fn(spec: FieldSpec):
 
 
 @functools.lru_cache(maxsize=None)
-def _column_dots_fn(spec: FieldSpec):
+def _column_checks_fn(spec: FieldSpec):
+    """One device program for the verifier's per-column math: the degree-test
+    and eval dot products AND the leaf digests H(0 || column) — everything
+    that scales with n_col_opens x n_rows runs batched on device, one
+    round trip (lcpc-2d/src/lib.rs:953-974, 985-1030)."""
     lf = limb_field(spec)
 
     def f(cols, rand, outer):
         d_rand = lf.dot(cols[None, :, :, :], rand[:, None, :, :], axis=2)  # (ndt,k,L)
         d_eval = lf.dot(cols, outer[None, :, :], axis=1)                   # (k,L)
-        return d_rand, d_eval
+        leaves = hash_columns(jnp.transpose(cols, (1, 0, 2)), spec)        # (k,8)
+        return d_rand, d_eval, leaves
 
     return jax.jit(f)
+
+
+def _fold_path(leaf: bytes, col_num: int, path: list[bytes]) -> bytes:
+    """Merkle path fold, leaf -> root (native blake3 per level)."""
+    from ..crypto.blake3_ref import blake3
+    h = leaf
+    col = col_num
+    for p in path:
+        h = blake3(h + p) if col % 2 == 0 else blake3(p + h)
+        col >>= 1
+    return h
 
 
 def _collapse(coeff_mat: jnp.ndarray, tensor: list[int], spec: FieldSpec) -> list[int]:
@@ -331,13 +390,14 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     _append_coeffs(tr, LABEL_PE, p_eval, spec)
 
     cols_to_open = _columns_to_open(tr, comm.n_cols, enc.get_n_col_opens())
-    # batched column extraction on device, paths on host
+    # batched column extraction on device (one readback), limbs kept as-is,
+    # paths folded from the host-resident Merkle array
     cols_arr = np.asarray(comm.comm[:, jnp.asarray(cols_to_open), :])  # (rows, k, L)
-    columns = []
-    for i, c in enumerate(cols_to_open):
-        col_vals = limbs_to_ints(cols_arr[:, i, :])
-        columns.append(LcColumn(col=col_vals,
-                                path=merkle_path(comm.hashes, comm.n_cols, c)))
+    columns = [
+        LcColumn(col_limbs=cols_arr[:, i, :], spec=spec,
+                 path=merkle_path(comm.hashes, comm.n_cols, c))
+        for i, c in enumerate(cols_to_open)
+    ]
 
     return LcEvalProof(n_cols=comm.n_cols, p_eval=p_eval,
                        p_random_vec=p_random_vec, columns=columns)
@@ -355,6 +415,11 @@ def _encode_rows_limbs(rows: list[list[int]], enc: LcEncoding) -> np.ndarray:
     mat = np.zeros((len(rows), enc.n_cols, lf.L), np.uint32)
     for i, vals in enumerate(rows):
         mat[i, : len(vals), :] = ints_to_limbs(vals, enc.spec)
+    if enc.mesh is not None:
+        # wide verifier: re-encode with the cross-chip NTT, eagerly (the
+        # shard_map compiles itself; an outer jit would bake the cross-chip
+        # twiddles into the HLO as multi-MB literals)
+        return np.asarray(enc.encode(jnp.asarray(mat), None))
     encode = _enc_jit(enc, "encode_row",
                       lambda: lambda m, ops: enc.encode(m, ops))
     return np.asarray(encode(jnp.asarray(mat), enc.device_operands()))
@@ -369,7 +434,7 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     n_col_opens = enc.get_n_col_opens()
     if n_col_opens != len(proof.columns) or n_col_opens == 0:
         raise VerifierError("NumColOpens")
-    n_rows = len(proof.columns[0].col)
+    n_rows = len(proof.columns[0])
     n_cols = proof.get_n_cols()
     n_per_row = proof.get_n_per_row()
     if len(inner_tensor) != n_per_row:
@@ -395,16 +460,18 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     p_random_fft = [all_fft[i] for i in range(enc.get_n_degree_tests())]
     p_eval_fft = all_fft[-1]
 
-    # batched column dot products on device; one host->device conversion
-    flat_cols = [v for c in proof.columns for v in c.col]
+    # all per-column math (dot products + leaf digests) batched on device:
+    # one host->device conversion, one program, one readback
     cols_mat = jnp.asarray(
-        ints_to_limbs(flat_cols, spec).reshape(n_col_opens, n_rows, lf.L))
+        np.stack([c.col_limbs(spec) for c in proof.columns]))       # (k, rows, L)
     rand_mats = jnp.stack([lf.array(t) for t in rand_tensor_vec])   # (ndt, rows, L)
     outer_mat = lf.array(outer_tensor)                              # (rows, L)
 
-    d_rand, d_eval = _column_dots_fn(spec)(cols_mat, rand_mats, outer_mat)
+    d_rand, d_eval, leaves = _column_checks_fn(spec)(cols_mat, rand_mats,
+                                                     outer_mat)
     d_rand = np.asarray(d_rand)
     d_eval = np.asarray(d_eval)
+    leaf_bytes = digests_to_bytes(np.asarray(leaves))
 
     n_degree = enc.get_n_degree_tests()
     for k, (col_num, column) in enumerate(zip(cols_to_open, proof.columns)):
@@ -413,7 +480,7 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
             for i in range(n_degree)
         )
         eval_ok = np.array_equal(d_eval[k], p_eval_fft[col_num])
-        path_ok = verify_column_path(column, col_num, root, spec)
+        path_ok = _fold_path(leaf_bytes[k], col_num, column.path) == root
         if not rand_ok:
             raise VerifierError("ColumnDegree", f"column {col_num}")
         if not eval_ok:

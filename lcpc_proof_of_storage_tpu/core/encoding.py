@@ -46,6 +46,23 @@ class LcEncoding(abc.ABC):
 
     spec: FieldSpec
 
+    # wide-row (cross-chip) mode: when set, commit/verify route encodes
+    # through the mesh-sharded pipeline (parallel/wide.py)
+    mesh = None
+    mesh_axis: str = "d"
+
+    def with_mesh(self, mesh, axis: str = "d"):
+        """Enable the wide pipeline: the encoded-column axis is sharded over
+        `mesh` and rows are encoded with the cross-chip NTT.  Returns self."""
+        self.mesh = mesh
+        self.mesh_axis = axis
+        return self
+
+    def encode_wide(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """Mesh-sharded encode of (batch, n_cols, L) padded buffers.  Only
+        codes with a cross-chip formulation implement this."""
+        raise NotImplementedError(f"{type(self).__name__} has no wide encode")
+
     @abc.abstractmethod
     def encode(self, rows: jnp.ndarray, operands=None) -> jnp.ndarray:
         """Encode rows: (batch, n_cols, L) with coefficients in the first

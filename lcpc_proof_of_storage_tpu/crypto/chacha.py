@@ -149,6 +149,20 @@ class ChaChaRng:
         w = self.next_u32_array(2 * n).astype(np.uint64)
         return w[0::2] | (w[1::2] << np.uint64(32))
 
+    # -- batched peek/consume (vectorized rejection sampling) ---------------
+    def peek_u64_array(self, n: int) -> np.ndarray:
+        """Next n u64 draws WITHOUT consuming them (matgen's numpy-batched
+        rejection sampling peeks a window, then advances by the exact draw
+        count the reference's sequential sampler would have consumed)."""
+        if len(self._buf) - self._buf_pos < 2 * n:
+            self._refill(2 * n)
+        w = self._buf[self._buf_pos : self._buf_pos + 2 * n].astype(np.uint64)
+        return w[0::2] | (w[1::2] << np.uint64(32))
+
+    def advance_u64(self, n: int) -> None:
+        assert len(self._buf) - self._buf_pos >= 2 * n
+        self._buf_pos += 2 * n
+
     def fill_bytes(self, n: int) -> bytes:
         nwords = (n + 3) // 4
         words = self.next_u32_array(nwords)
@@ -186,6 +200,19 @@ class UniformUsize:
             hi, lo = m >> 64, m & ((1 << 64) - 1)
             if lo <= self.zone:
                 return self.low + hi
+
+    def candidates(self, words: np.ndarray):
+        """Vectorized accept mask + candidate values for a window of u64
+        draws (same widening-multiply math as sample(), one word each).
+        Requires range < 2^32 (all matgen row counts qualify)."""
+        assert self.range < (1 << 32)
+        r = np.uint64(self.range)
+        lo64 = words * r                              # mod 2^64
+        vhi = words >> np.uint64(32)
+        vlo = words & np.uint64(0xFFFFFFFF)
+        hi = (vhi * r + ((vlo * r) >> np.uint64(32))) >> np.uint64(32)
+        ok = lo64 <= np.uint64(self.zone)
+        return ok, hi + np.uint64(self.low)
 
 
 def gen_range_u64(rng: ChaChaRng, low: int, high: int) -> int:

@@ -103,6 +103,11 @@ def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh, axis: str = "d") -> LcCo
     arguments, never as HLO literals.
     """
     coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
+    from .wide import wide_chip_col_budget, wide_commit
+    if enc.mesh is not None or n_cols > wide_chip_col_budget():
+        # rows wider than one chip: column-sharded wide pipeline instead of
+        # row sharding (the reference's admitted limitation, limitations.md)
+        return wide_commit(coeffs, enc, mesh, axis)
     pipeline = _enc_mesh_jit(enc, mesh, n_rows, n_cols, axis)
     comm, leaves = pipeline(coeff_mat, enc.device_operands())
     hashes = merkle_hashes_from_leaves(leaves, n_cols)

@@ -1,0 +1,131 @@
+"""End-to-end wide-row (cross-chip) commitments on the 8-device mesh.
+
+The framework's headline distribution claim (VERDICT r1 item 1; the
+reference's admitted limitation, proof-of-storage/limitations.md:8-10):
+commit/prove/verify a matrix whose encoded columns are sharded across the
+mesh, bit-equal to the single-chip path.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lcpc_proof_of_storage_tpu.codes.ligero import LigeroEncoding
+from lcpc_proof_of_storage_tpu.core.commit import commit, prove, verify
+from lcpc_proof_of_storage_tpu.crypto.transcript import Transcript
+from lcpc_proof_of_storage_tpu.fields.field import FT63, FT255
+from lcpc_proof_of_storage_tpu.fields.limb import limb_field
+from lcpc_proof_of_storage_tpu.parallel.sharded import make_mesh, sharded_commit
+from lcpc_proof_of_storage_tpu.parallel.wide import wide_commit
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def _poly_tensors(comm, x, p):
+    inner = [pow(x, j, p) for j in range(comm.n_per_row)]
+    xr = pow(x, comm.n_per_row, p)
+    outer = [pow(xr, i, p) for i in range(comm.n_rows)]
+    return inner, outer
+
+
+def test_wide_commit_root_matches_single_chip(mesh):
+    spec = FT63
+    rnd = random.Random(21)
+    length = 256 * 6 - 3
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(length)]
+    single = commit(coeffs, LigeroEncoding.new_from_dims(256, 1024, spec))
+    wide = wide_commit(coeffs,
+                       LigeroEncoding.new_from_dims(256, 1024, spec), mesh)
+    assert np.array_equal(wide.hashes, single.hashes)
+    assert wide.get_root().root == single.get_root().root
+    assert np.array_equal(np.asarray(wide.comm), np.asarray(single.comm))
+
+
+def test_wide_prove_verify_end_to_end(mesh):
+    """Full protocol over the wide pipeline: proof bit-equal to single-chip
+    (same transcript evolution => same challenges, columns, paths) and the
+    evaluation comes out right."""
+    spec = FT63
+    p = spec.modulus
+    rnd = random.Random(22)
+    length = 256 * 5 - 7
+    coeffs = [rnd.randrange(p) for _ in range(length)]
+
+    enc_s = LigeroEncoding.new_from_dims(256, 1024, spec)
+    single = commit(coeffs, enc_s)
+    enc_w = LigeroEncoding.new_from_dims(256, 1024, spec)
+    wide = wide_commit(coeffs, enc_w, mesh)
+    root = wide.get_root().root
+
+    x = rnd.randrange(p)
+    inner, outer = _poly_tensors(wide, x, p)
+
+    tr_s = Transcript(b"wide")
+    tr_s.append_message(b"polycommit", root)
+    proof_s = prove(single, outer, enc_s, tr_s)
+    tr_w = Transcript(b"wide")
+    tr_w.append_message(b"polycommit", root)
+    proof_w = prove(wide, outer, enc_w, tr_w)
+
+    assert proof_w.p_eval == proof_s.p_eval
+    assert proof_w.p_random_vec == proof_s.p_random_vec
+    assert all(cw.col == cs.col and cw.path == cs.path
+               for cw, cs in zip(proof_w.columns, proof_s.columns))
+
+    # verify through the wide verifier (cross-chip re-encode of p_random /
+    # p_eval) and check the evaluation
+    tv = Transcript(b"wide")
+    tv.append_message(b"polycommit", root)
+    res = verify(root, outer, inner, proof_w, enc_w, tv)
+    expect = 0
+    for c in reversed(coeffs):
+        expect = (expect * x + c) % p
+    assert res == expect
+    assert tr_w.state_bytes() == tv.state_bytes()
+
+
+def test_sharded_commit_selects_wide_beyond_budget(mesh, monkeypatch):
+    monkeypatch.setenv("LCPC_CHIP_COL_BUDGET", "512")
+    spec = FT63
+    rnd = random.Random(23)
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(700)]
+    enc = LigeroEncoding.new_from_dims(256, 1024, spec)
+    comm = sharded_commit(coeffs, enc, mesh)        # n_cols 1024 > budget 512
+    assert enc.mesh is mesh                         # wide path engaged
+    single = commit(coeffs, LigeroEncoding.new_from_dims(256, 1024, spec))
+    assert np.array_equal(comm.hashes, single.hashes)
+
+
+def test_cross_chip_inverse_ntt(mesh):
+    from lcpc_proof_of_storage_tpu.ops.ntt import intt, ntt
+    from lcpc_proof_of_storage_tpu.parallel.cross_chip_ntt import cross_chip_ntt
+    spec = FT63
+    lf = limb_field(spec)
+    rnd = random.Random(24)
+    n = 1024
+    vals = [rnd.randrange(spec.modulus) for _ in range(n)]
+    X = lf.array(vals)[None]
+    fwd = cross_chip_ntt(X, spec, mesh)
+    ref = np.asarray(intt(jnp.asarray(np.asarray(fwd)), spec))
+    got = np.asarray(cross_chip_ntt(fwd, spec, mesh, inverse=True))
+    assert np.array_equal(got, ref)                 # matches single-chip intt
+    assert np.array_equal(got, np.asarray(X))       # and is the true inverse
+
+
+def test_wide_ft255(mesh):
+    """The flagship field through the wide path."""
+    spec = FT255
+    rnd = random.Random(25)
+    length = 64 * 3
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(length)]
+    single = commit(coeffs, LigeroEncoding.new_from_dims(64, 256, spec))
+    wide = wide_commit(coeffs,
+                       LigeroEncoding.new_from_dims(64, 256, spec), mesh)
+    assert wide.get_root().root == single.get_root().root
