@@ -144,19 +144,49 @@ def get_dims(n: int, log2p: float, spec: SdigSpec):
 # sparse matrix generation (matgen.rs)
 # --------------------------------------------------------------------------
 
-@dataclass
 class SparseCode:
-    """Column-regular sparse matrix, rows x cols, in CSC triplet form."""
-    rows: int
-    cols: int
-    col_indices: list          # per column: sorted row indices
-    col_values: list           # per column: field values (same order)
+    """Column-regular sparse matrix, rows x cols, in CSC triplet form.
+
+    Backed either by per-column python lists (sequential generator) or by
+    dense (cols, d) numpy arrays (vectorized generator; every column has
+    exactly d entries by construction).  The list views are materialized
+    lazily — only host oracles and tests want python ints."""
+
+    def __init__(self, rows: int, cols: int, col_indices=None, col_values=None,
+                 idx_np: np.ndarray | None = None,
+                 val_limbs_np: np.ndarray | None = None,
+                 field: FieldSpec | None = None):
+        self.rows = rows
+        self.cols = cols
+        self._col_indices = col_indices
+        self._col_values = col_values
+        self.idx_np = idx_np               # (cols, d) int64 sorted row indices
+        self.val_limbs_np = val_limbs_np   # (cols, d, L) uint32 16-bit limbs
+        self.field = field
+
+    @property
+    def col_indices(self) -> list:
+        if self._col_indices is None:
+            self._col_indices = self.idx_np.tolist()
+        return self._col_indices
+
+    @property
+    def col_values(self) -> list:
+        if self._col_values is None:
+            arr = self.val_limbs_np.astype(object)
+            out = arr[..., 0]
+            for j in range(1, arr.shape[-1]):
+                out = out + (arr[..., j] << (16 * j))
+            self._col_values = out.tolist()
+        return self._col_values
 
 
-def gen_code(n: int, m: int, d: int, rng: ChaChaRng, field: FieldSpec) -> SparseCode:
-    """matgen.rs:115-188: n columns, each with d distinct uniform rows in
-    [0, m) and nonzero values; consumes the RNG exactly like the reference
-    (distinct-filtered Uniform stream, then values in sorted-row order)."""
+def gen_code_seq(n: int, m: int, d: int, rng: ChaChaRng,
+                 field: FieldSpec) -> SparseCode:
+    """matgen.rs:115-188, draw-by-draw: n columns, each with d distinct
+    uniform rows in [0, m) and nonzero values; consumes the RNG exactly like
+    the reference (distinct-filtered Uniform stream, then values in
+    sorted-row order).  The oracle for the vectorized gen_code."""
     dist = UniformUsize(0, m)
     col_indices = []
     col_values = []
@@ -176,6 +206,244 @@ def gen_code(n: int, m: int, d: int, rng: ChaChaRng, field: FieldSpec) -> Sparse
         col_indices.append(seen)
         col_values.append(vals)
     return SparseCode(rows=m, cols=n, col_indices=col_indices, col_values=col_values)
+
+
+# -- vectorized matgen ------------------------------------------------------
+#
+# The reference parallelizes matrix generation only across levels; each
+# gen_code is a sequential O(n*d) rejection loop (matgen.rs:115-188).  Here
+# the whole ChaCha stream for a level is peeked as one numpy window and the
+# rejection sampling is *simulated* vectorized:
+#
+#   * every u64 of the window gets its uniform accept bit + candidate value
+#     (widening-multiply zone test) and, per k-word alignment class, its
+#     field-attempt accept bit (masked repr in (0, p)) — all O(N) vector ops;
+#   * the per-column stream consumption then reduces to two sorted-array
+#     lookups per column (position of the d-th accepted uniform draw, then
+#     of the d-th accepted field attempt), so the python loop does O(1) work
+#     per column;
+#   * duplicate-row rejections (rare, ~d^2/2m per column) fall back to an
+#     exact per-column walk of the same window.
+#
+# The simulation consumes the RNG exactly like gen_code_seq (oracle test:
+# tests/test_brakedown.py::test_gen_code_vectorized_matches_seq).
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _digits16_of_int(v: int, width: int) -> np.ndarray:
+    return np.array([(v >> (16 * i)) & 0xFFFF for i in range(width)], np.uint64)
+
+
+def _np_conv_const(a: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Product digits of (M, La) 16-bit digit rows times a constant of Lc
+    digits; raw digits < Lc * 2^32 (u64-safe)."""
+    M, La = a.shape
+    Lc = len(c)
+    out = np.zeros((M, La + Lc), np.uint64)
+    for j in range(Lc):
+        out[:, j : j + La] += a * c[j]
+    return out
+
+
+def _np_carry(raw: np.ndarray, width: int) -> np.ndarray:
+    """Normalize raw u64 digits to `width` 16-bit digits (truncating)."""
+    M, Lr = raw.shape
+    out = np.zeros((M, width), np.uint64)
+    carry = np.zeros(M, np.uint64)
+    for j in range(min(Lr, width)):
+        t = raw[:, j] + carry
+        out[:, j] = t & np.uint64(0xFFFF)
+        carry = t >> np.uint64(16)
+    j = Lr
+    while j < width and carry.any():
+        out[:, j] = carry & np.uint64(0xFFFF)
+        carry = carry >> np.uint64(16)
+        j += 1
+    return out
+
+
+def _np_sub_trunc(a: np.ndarray, b: np.ndarray):
+    """(a - b) mod b^width on 16-bit digit rows, plus underflow flag."""
+    M, Wd = a.shape
+    out = np.empty_like(a)
+    borrow = np.zeros(M, np.uint64)
+    for j in range(Wd):
+        t = a[:, j] - b[:, j] - borrow          # u64 wrap-around
+        borrow = t >> np.uint64(63)             # digits <= 2^16: neg iff top bit
+        out[:, j] = t & np.uint64(0xFFFF)
+    return out, borrow
+
+
+def _np_cond_sub(r: np.ndarray, p_d: np.ndarray) -> np.ndarray:
+    p_pad = np.zeros((1, r.shape[1]), np.uint64)
+    p_pad[0, : len(p_d)] = p_d
+    d, borrow = _np_sub_trunc(r, np.broadcast_to(p_pad, r.shape))
+    return np.where(borrow[:, None].astype(bool), r, d)
+
+
+def _values_from_reprs_np(w: np.ndarray, field: FieldSpec) -> np.ndarray:
+    """(M, k) masked u64 reprs (each in (0, p)) -> (M, L) uint32 16-bit limb
+    values of repr * R^-1 mod p (ff_derive's Montgomery interpretation of
+    random draws), via the same truncated-Barrett scheme as fields/limb.py."""
+    M, k = w.shape
+    Lp = field.num_limbs16
+    a = np.zeros((M, 4 * k), np.uint64)
+    for j in range(k):
+        for t in range(4):
+            a[:, 4 * j + t] = (w[:, j] >> np.uint64(16 * t)) & np.uint64(0xFFFF)
+    rinv = field.montgomery_r_inv
+    rinv_len = max(1, (rinv.bit_length() + 15) // 16)
+    z = _np_carry(_np_conv_const(a, _digits16_of_int(rinv, rinv_len)), 2 * Lp)
+    # truncated Barrett (z < p * 2^num_bits <= b^2Lp)
+    p = field.modulus
+    mu = (1 << (16 * 2 * Lp)) // p
+    mu_len = max(1, (mu.bit_length() + 15) // 16)
+    mu_d = _digits16_of_int(mu, mu_len)
+    p_d = _digits16_of_int(p, Lp)
+    q1 = z[:, Lp - 1 :]                                          # (M, Lp+1)
+    q_wide = _np_carry(_np_conv_const(q1, mu_d), Lp + 1 + mu_len)
+    qd = q_wide[:, Lp + 1 : Lp + 1 + mu_len]
+    qp = _np_carry(_np_conv_const(qd, p_d), Lp + 1)
+    r, _ = _np_sub_trunc(z[:, : Lp + 1], qp)
+    for _ in range(3):
+        r = _np_cond_sub(r, p_d)
+    return r[:, :Lp].astype(np.uint32)
+
+
+def _field_accept_np(wr: np.ndarray, field: FieldSpec):
+    """Accept bits for (A, k) u64 field attempts: masked repr in (0, p).
+    Returns (accept, masked_words)."""
+    k = field.u64_limbs
+    shave = 64 * k - field.num_bits
+    w = wr.copy()
+    if shave:
+        w[:, k - 1] &= np.uint64((1 << (64 - shave)) - 1)
+    p_words = [(field.modulus >> (64 * j)) & 0xFFFFFFFFFFFFFFFF for j in range(k)]
+    decided = np.zeros(len(w), bool)
+    lt = np.zeros(len(w), bool)
+    nz = np.zeros(len(w), bool)
+    for j in range(k - 1, -1, -1):
+        pj = np.uint64(p_words[j])
+        less = w[:, j] < pj
+        more = w[:, j] > pj
+        lt |= (~decided) & less
+        decided |= less | more
+        nz |= w[:, j] != 0
+    return lt & nz, w
+
+
+def _column_slow(W: np.ndarray, s: int, d: int, dist: UniformUsize,
+                 field: FieldSpec):
+    """Exact sequential walk of one column over the peeked window (duplicate
+    -row fallback).  Returns (rows_sorted, value_ints, end) or None if the
+    window ran out."""
+    N = len(W)
+    i = s
+    seen: list[int] = []
+    rng_range, zone, low = dist.range, dist.zone, dist.low
+    while len(seen) < d:
+        if i >= N:
+            return None
+        v = int(W[i]); i += 1
+        mprod = v * rng_range
+        if (mprod & 0xFFFFFFFFFFFFFFFF) <= zone:
+            x = low + (mprod >> 64)
+            if x not in seen:
+                seen.append(x)
+    seen.sort()
+    k = field.u64_limbs
+    mask = (1 << field.num_bits) - 1
+    vals: list[int] = []
+    while len(vals) < d:
+        if i + k > N:
+            return None
+        v = 0
+        for j in range(k):
+            v |= int(W[i + j]) << (64 * j)
+        i += k
+        v &= mask
+        if 0 < v < field.modulus:
+            vals.append((v * field.montgomery_r_inv) % field.modulus)
+    return seen, vals, i
+
+
+def _simulate_gen(W: np.ndarray, n: int, m: int, d: int, dist: UniformUsize,
+                  field: FieldSpec):
+    """One pass of the stream simulation over window W; None if W too short."""
+    N = len(W)
+    ok_u, val_u = dist.candidates(W)
+    nzU = np.flatnonzero(ok_u)
+    k = field.u64_limbs
+    cls_nz, cls_repr = [], []
+    for r in range(k):
+        A = (N - r) // k
+        acc, masked = _field_accept_np(W[r : r + A * k].reshape(A, k), field)
+        cls_nz.append(np.flatnonzero(acc))
+        cls_repr.append(masked)
+    rows_out = np.empty((n, d), np.int64)
+    val_ref = np.full((n, 2), -1, np.int64)       # (alignment class, jf)
+    slow_vals: dict[int, list[int]] = {}
+    ar = np.arange(d)
+    cur = 0
+    for c in range(n):
+        j0 = np.searchsorted(nzU, cur)
+        if j0 + d > len(nzU):
+            return None
+        upos = nzU[j0 + d - 1]
+        uvals = val_u[nzU[j0 : j0 + d]]
+        su = np.sort(uvals)
+        if d > 1 and (su[1:] == su[:-1]).any():
+            sres = _column_slow(W, cur, d, dist, field)
+            if sres is None:
+                return None
+            rows_out[c], slow_vals[c], cur = sres
+            continue
+        rows_out[c] = su
+        s2 = int(upos) + 1
+        r = s2 % k
+        t0 = s2 // k
+        nzF = cls_nz[r]
+        jf = np.searchsorted(nzF, t0)
+        if jf + d > len(nzF):
+            return None
+        val_ref[c] = (r, jf)
+        cur = r + (int(nzF[jf + d - 1]) + 1) * k
+    Lp = field.num_limbs16
+    vals_np = np.empty((n, d, Lp), np.uint32)
+    for r in range(k):
+        cols_r = np.flatnonzero(val_ref[:, 0] == r)
+        if len(cols_r) == 0:
+            continue
+        att = cls_nz[r][val_ref[cols_r, 1][:, None] + ar]     # (n_r, d)
+        w = cls_repr[r][att.ravel()]
+        vals_np[cols_r] = _values_from_reprs_np(w, field).reshape(
+            len(cols_r), d, Lp)
+    for c, vints in slow_vals.items():
+        vals_np[c] = ints_to_limbs(vints, field)
+    return rows_out, vals_np, cur
+
+
+def gen_code(n: int, m: int, d: int, rng: ChaChaRng,
+             field: FieldSpec) -> SparseCode:
+    """Vectorized matgen.rs:115-188 — bit-identical output and RNG
+    consumption to gen_code_seq (the draw-by-draw oracle)."""
+    if n * d < 4096:
+        return gen_code_seq(n, m, d, rng, field)
+    dist = UniformUsize(0, m)
+    k = field.u64_limbs
+    q = field.modulus / float(1 << field.num_bits)    # field-attempt accept p
+    cap = int(n * (d * (1.0 + 2.0 * d / m) + k * d / q * 1.05)) + 4096
+    while True:
+        W = rng.peek_u64_array(cap)
+        res = _simulate_gen(W, n, m, d, dist, field)
+        if res is not None:
+            break
+        cap *= 2
+    rows_np, vals_np, consumed = res
+    rng.advance_u64(consumed)
+    return SparseCode(rows=m, cols=n, idx_np=rows_np, val_limbs_np=vals_np,
+                      field=field)
 
 
 def generate(n: int, seed: int, field: FieldSpec, spec: SdigSpec):
@@ -219,6 +487,8 @@ class GatherMat:
 
 
 def to_gather(mat: SparseCode, field: FieldSpec) -> GatherMat:
+    if mat.idx_np is not None:
+        return _to_gather_np(mat, field)
     rows_entries: list[list] = [[] for _ in range(mat.rows)]
     for j in range(mat.cols):
         for r, v in zip(mat.col_indices[j], mat.col_values[j]):
@@ -231,6 +501,27 @@ def to_gather(mat: SparseCode, field: FieldSpec) -> GatherMat:
         for k, (j, v) in enumerate(entries):
             idx[k, r] = j
             vals[k, r] = ints_to_limbs([v], field)[0]
+    return GatherMat(rows=mat.rows, cols=mat.cols, idx=idx, vals=vals)
+
+
+def _to_gather_np(mat: SparseCode, field: FieldSpec) -> GatherMat:
+    """Vectorized CSC -> row-gather transpose (same entry order as the loop
+    form: within a row, entries sorted by column)."""
+    n, d = mat.idx_np.shape
+    L = field.num_limbs16
+    rows_flat = mat.idx_np.ravel()
+    cols_flat = np.repeat(np.arange(n, dtype=np.int64), d)
+    order = np.lexsort((cols_flat, rows_flat))
+    r_sorted = rows_flat[order]
+    counts = np.bincount(r_sorted, minlength=mat.rows)
+    K = max(1, int(counts.max()))
+    row_starts = np.zeros(mat.rows, np.int64)
+    np.cumsum(counts[:-1], out=row_starts[1:])
+    slot = np.arange(len(r_sorted)) - row_starts[r_sorted]
+    idx = np.zeros((K, mat.rows), np.int32)
+    vals = np.zeros((K, mat.rows, L), np.uint32)
+    idx[slot, r_sorted] = cols_flat[order]
+    vals[slot, r_sorted] = mat.val_limbs_np.reshape(-1, L)[order]
     return GatherMat(rows=mat.rows, cols=mat.cols, idx=idx, vals=vals)
 
 

@@ -47,6 +47,28 @@ def test_matgen_deterministic_and_column_regular():
         assert all(v != 0 for v in vals)
 
 
+def test_gen_code_vectorized_matches_seq():
+    """The numpy stream-simulated gen_code must be bit-identical to the
+    draw-by-draw oracle (indices, values, AND RNG consumption) — including
+    duplicate-row fallback columns (small m forces collisions)."""
+    from lcpc_proof_of_storage_tpu.crypto.chacha import ChaChaRng
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS
+    from lcpc_proof_of_storage_tpu.ops.expander import gen_code, gen_code_seq
+
+    cases = [(2000, 700, 8), (1500, 24, 6)]  # dense + collision-heavy
+    for fname in ("ft63", "ft255"):
+        f = FIELDS[fname]
+        for n, m, d in cases:
+            seed = bytes((i * 7 + 3) & 0xFF for i in range(32))
+            r1, r2 = ChaChaRng(seed, 20), ChaChaRng(seed, 20)
+            a = gen_code(n, m, d, r1, f)
+            b = gen_code_seq(n, m, d, r2, f)
+            assert a.idx_np is not None  # vectorized path actually taken
+            assert a.col_indices == b.col_indices
+            assert a.col_values == b.col_values
+            assert (r1.next_u64_array(8) == r2.next_u64_array(8)).all()
+
+
 def test_encode_linearity():
     spec = FT63
     lf = limb_field(spec)
