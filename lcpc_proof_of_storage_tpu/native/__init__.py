@@ -24,7 +24,7 @@ def build(force: bool = False) -> bool:
         return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
              str(_SRC), "-o", str(_SO)],
             check=True, capture_output=True, timeout=120)
         return True
@@ -78,6 +78,23 @@ def native():
                                        ctypes.c_size_t]
     lib.pos_colhash_finalize.argtypes = [ctypes.c_void_p, u8p]
     lib.pos_colhash_free.argtypes = [ctypes.c_void_p]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.pos_matgen_walk.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_int32, ctypes.c_uint64, u64p, i64p, u64p]
+    lib.pos_matgen_walk.restype = ctypes.c_int64
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.pos_mont_redc_limbs.argtypes = [u64p, ctypes.c_int64, ctypes.c_int32,
+                                        u64p, ctypes.c_uint64,
+                                        ctypes.c_int32, u32p]
+    lib.pos_colhash_chunk_cvs.argtypes = [u8p, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          u32p]
+    lib.pos_colhash_digests_from_cvs.argtypes = [u32p, ctypes.c_int64,
+                                                 ctypes.c_int64, u8p,
+                                                 ctypes.c_int64, u8p]
     _lib = lib
     return _lib
 
@@ -182,3 +199,16 @@ def chacha_blocks_native(key: bytes, stream: int, counter0: int,
     out = (ctypes.c_uint8 * (64 * nblocks))()
     lib.pos_chacha_blocks(key, stream, counter0, nblocks, rounds, out)
     return bytes(out)
+
+
+def chacha_blocks_into(key: bytes, stream: int, counter0: int,
+                       nblocks: int, rounds: int, out) -> bool:
+    """Write nblocks*16 keystream u32 words straight into `out`, a
+    C-contiguous uint32 numpy array (zero-copy for large refills)."""
+    lib = native()
+    if lib is None:
+        return False
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pos_chacha_blocks(key, stream, counter0, nblocks, rounds,
+                          out.ctypes.data_as(u8p))
+    return True

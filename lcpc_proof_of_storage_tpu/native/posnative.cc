@@ -272,6 +272,61 @@ extern "C" void pos_colhash_free(PosColumnHasher* h) {
   delete h;
 }
 
+// -- chunk-CV cache primitives (incremental edit/append re-hash) ------------
+// The column hash stream is 32 zero bytes ++ the column's encoded bytes;
+// caching the CV of every FULL 1024-byte chunk lets an edit recompute only
+// the chunks its rows touch and an append extend from the cached state,
+// instead of re-hashing the whole file (reference rebuilds the full tree
+// per edit: proof-of-storage/src/lcpc_online/file_handler.rs:331,474-481).
+
+// CVs of full chunks [chunk0, chunk0+n_chunks) for all columns.
+// data: (n_cols, n_chunks*1024) row-major — each row holds that column's
+// stream bytes [chunk0*1024, (chunk0+n_chunks)*1024).
+void pos_colhash_chunk_cvs(const uint8_t* data, int64_t n_cols,
+                           int64_t chunk0, int64_t n_chunks,
+                           uint32_t* cvs_out /* (n_cols, n_chunks, 8) */) {
+#pragma omp parallel for schedule(static) if (n_cols * n_chunks > 64)
+  for (int64_t c = 0; c < n_cols; c++) {
+    const uint8_t* w = data + c * n_chunks * 1024;
+    for (int64_t k = 0; k < n_chunks; k++)
+      b3_chunk_cv(w + k * 1024, 1024, (uint64_t)(chunk0 + k), 0,
+                  cvs_out + (c * n_chunks + k) * 8);
+  }
+}
+
+// Column digests from cached full-chunk CVs plus the tail (final, possibly
+// partial chunk).  Replays the accumulator's stack merge per column.
+// cvs: (n_cols, n_full, 8); tail: (n_cols, tail_len) stream bytes after the
+// last full chunk (tail_len in [0, 1024]); out: (n_cols, 32) digest bytes.
+void pos_colhash_digests_from_cvs(const uint32_t* cvs, int64_t n_cols,
+                                  int64_t n_full, const uint8_t* tail,
+                                  int64_t tail_len, uint8_t* out) {
+#pragma omp parallel for schedule(static) if (n_cols > 32)
+  for (int64_t c = 0; c < n_cols; c++) {
+    uint32_t stack[64][8];
+    int depth = 0;
+    for (int64_t k = 0; k < n_full; k++) {
+      memcpy(stack[depth++], cvs + (c * n_full + k) * 8, 32);
+      uint64_t total = (uint64_t)k + 1;
+      while ((total & 1) == 0 && depth >= 2) {
+        b3_parent(stack[depth - 2], stack[depth - 1], 0, stack[depth - 2]);
+        depth--;
+        total >>= 1;
+      }
+    }
+    uint32_t cv[8];
+    int single = n_full == 0;
+    b3_chunk_cv(tail + c * tail_len, (size_t)tail_len, (uint64_t)n_full,
+                single, cv);
+    int d = depth;
+    while (d > 0) {
+      b3_parent(stack[d - 1], cv, d == 1, cv);
+      d--;
+    }
+    memcpy(out + c * 32, cv, 32);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // ChaCha (rand_chacha layout: 64-bit counter words 12-13, stream words 14-15)
 // ---------------------------------------------------------------------------
@@ -286,6 +341,7 @@ void pos_chacha_blocks(const uint8_t key[32], uint64_t stream,
     k[i] = (uint32_t)key[4 * i] | ((uint32_t)key[4 * i + 1] << 8) |
            ((uint32_t)key[4 * i + 2] << 16) | ((uint32_t)key[4 * i + 3] << 24);
   }
+#pragma omp parallel for schedule(static) if (nblocks > 4096)
   for (size_t b = 0; b < nblocks; b++) {
     uint64_t ctr = counter0 + b;
     uint32_t s[16];
@@ -523,5 +579,126 @@ int pos_pwrite_strided_blocks(int fd, const uint8_t* buf, uint64_t start,
 }
 
 #endif  // unix
+
+// ---------------------------------------------------------------------------
+// Brakedown matgen walk (matgen.rs:115-188 draw-by-draw semantics)
+// ---------------------------------------------------------------------------
+// Exact sequential walk over a peeked ChaCha u64 window.  Per column:
+// uniform rejection draws (rand 0.8 widening multiply: accept when the low
+// 64 bits of v*range <= zone) until d DISTINCT rows, then sort; then k-word
+// field attempts (top word masked to the field's bit width, accept when the
+// masked repr is in (0, p)) until d accepted.  Outputs the sorted rows and
+// the accepted masked reprs (Montgomery form; the host converts repr*R^-1
+// mod p vectorized).  Returns the number of u64 words consumed, or -1 when
+// the window ran out (caller re-peeks a bigger window and retries).
+int64_t pos_matgen_walk(const uint64_t* w, int64_t nwords,
+                        int64_t n, int64_t d,
+                        uint64_t range, uint64_t zone, uint64_t low,
+                        int32_t k, uint64_t top_mask,
+                        const uint64_t* p_words,
+                        int64_t* rows_out,      // n*d
+                        uint64_t* reprs_out) {  // n*d*k
+  if (k < 1 || k > 8 || d < 1) return -2;
+  int64_t i = 0;
+  for (int64_t c = 0; c < n; c++) {
+    int64_t* rows = rows_out + c * d;
+    int64_t cnt = 0;
+    while (cnt < d) {
+      if (i >= nwords) return -1;
+      uint64_t v = w[i++];
+      unsigned __int128 m = (unsigned __int128)v * range;
+      if ((uint64_t)m <= zone) {
+        int64_t x = (int64_t)(low + (uint64_t)(m >> 64));
+        bool dup = false;
+        for (int64_t j = 0; j < cnt; j++)
+          if (rows[j] == x) { dup = true; break; }
+        if (!dup) rows[cnt++] = x;
+      }
+    }
+    for (int64_t a = 1; a < d; a++) {  // insertion sort (d is small)
+      int64_t key = rows[a];
+      int64_t b = a - 1;
+      while (b >= 0 && rows[b] > key) { rows[b + 1] = rows[b]; b--; }
+      rows[b + 1] = key;
+    }
+    uint64_t* reprs = reprs_out + (uint64_t)(c * d) * k;
+    int64_t got = 0;
+    while (got < d) {
+      if (i + k > nwords) return -1;
+      uint64_t tmp[8];
+      for (int32_t j = 0; j < k; j++) tmp[j] = w[i + j];
+      i += k;
+      tmp[k - 1] &= top_mask;
+      int cmp = 0;
+      for (int32_t j = k - 1; j >= 0; j--) {
+        if (tmp[j] < p_words[j]) { cmp = -1; break; }
+        if (tmp[j] > p_words[j]) { cmp = 1; break; }
+      }
+      bool nz = false;
+      for (int32_t j = 0; j < k; j++)
+        if (tmp[j]) { nz = true; break; }
+      if (cmp < 0 && nz) {
+        uint64_t* outp = reprs + got * k;
+        for (int32_t j = 0; j < k; j++) outp[j] = tmp[j];
+        got++;
+      }
+    }
+  }
+  return i;
+}
+
+// Montgomery REDC over M k-limb reprs: value = repr * R^-1 mod p with
+// R = 2^(64k), pinv = -p^-1 mod 2^64; emits 16-bit limbs (uint32, L16 per
+// value) directly — the framework's canonical host layout — skipping the
+// u64 intermediate.  reprs are already < p (matgen's acceptance condition),
+// so one final conditional subtract suffices.
+void pos_mont_redc_limbs(const uint64_t* reprs, int64_t M, int32_t k,
+                         const uint64_t* p_words, uint64_t pinv,
+                         int32_t L16, uint32_t* limbs_out) {
+  if (k < 1 || k > 8 || L16 < 1 || L16 > 4 * k) return;
+#pragma omp parallel for schedule(static) if (M > 16384)
+  for (int64_t r = 0; r < M; r++) {
+    uint64_t T[17] = {0};
+    const uint64_t* a = reprs + r * k;
+    for (int32_t j = 0; j < k; j++) T[j] = a[j];
+    for (int32_t i = 0; i < k; i++) {
+      uint64_t m = T[i] * pinv;
+      unsigned __int128 carry = 0;
+      for (int32_t j = 0; j < k; j++) {
+        unsigned __int128 s =
+            (unsigned __int128)m * p_words[j] + T[i + j] + carry;
+        T[i + j] = (uint64_t)s;
+        carry = s >> 64;
+      }
+      int32_t t = i + k;
+      while (carry) {
+        unsigned __int128 s = (unsigned __int128)T[t] + carry;
+        T[t] = (uint64_t)s;
+        carry = s >> 64;
+        t++;
+      }
+    }
+    // result in T[k..2k); subtract p if >= p
+    int cmp = 0;
+    for (int32_t j = k - 1; j >= 0; j--) {
+      if (T[k + j] < p_words[j]) { cmp = -1; break; }
+      if (T[k + j] > p_words[j]) { cmp = 1; break; }
+    }
+    uint64_t v[8];
+    if (cmp >= 0) {
+      unsigned __int128 borrow = 0;
+      for (int32_t j = 0; j < k; j++) {
+        unsigned __int128 s = (unsigned __int128)T[k + j] - p_words[j] - borrow;
+        v[j] = (uint64_t)s;
+        borrow = (s >> 64) ? 1 : 0;
+      }
+    } else {
+      for (int32_t j = 0; j < k; j++) v[j] = T[k + j];
+    }
+    uint32_t* o = limbs_out + r * L16;
+    for (int32_t t = 0; t < L16; t++)
+      o[t] = (uint32_t)((v[t >> 2] >> (16 * (t & 3))) & 0xFFFF);
+  }
+}
 
 }  // extern "C"

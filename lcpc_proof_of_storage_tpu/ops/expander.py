@@ -424,19 +424,66 @@ def _simulate_gen(W: np.ndarray, n: int, m: int, d: int, dist: UniformUsize,
     return rows_out, vals_np, cur
 
 
+def _matgen_native(W: np.ndarray, n: int, m: int, d: int, dist: UniformUsize,
+                   field: FieldSpec):
+    """C++ draw-by-draw walk over the peeked window (same return contract
+    as _simulate_gen; values converted from reprs vectorized on host)."""
+    from ..native import native
+    import ctypes
+    lib = native()
+    if lib is None:
+        return False
+    k = field.u64_limbs
+    shave = 64 * k - field.num_bits
+    top_mask = ((1 << (64 - shave)) - 1) if shave else (1 << 64) - 1
+    p_words = np.array(
+        [(field.modulus >> (64 * j)) & 0xFFFFFFFFFFFFFFFF for j in range(k)],
+        np.uint64)
+    rows_np = np.empty((n, d), np.int64)
+    reprs = np.empty((n * d, k), np.uint64)
+    Wc = np.ascontiguousarray(W)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    consumed = lib.pos_matgen_walk(
+        Wc.ctypes.data_as(u64p), len(Wc), n, d,
+        dist.range, dist.zone, dist.low, k, top_mask,
+        p_words.ctypes.data_as(u64p), rows_np.ctypes.data_as(i64p),
+        reprs.ctypes.data_as(u64p))
+    if consumed < 0:
+        return None
+    Lp = field.num_limbs16
+    # Montgomery repr -> value -> 16-bit limbs, all in C++ (fused REDC).
+    pinv = (-pow(field.modulus, -1, 1 << 64)) % (1 << 64)
+    vals_np = np.empty((n * d, Lp), np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.pos_mont_redc_limbs(reprs.ctypes.data_as(u64p), len(reprs), k,
+                            p_words.ctypes.data_as(u64p),
+                            ctypes.c_uint64(pinv).value, Lp,
+                            vals_np.ctypes.data_as(u32p))
+    return rows_np, vals_np.reshape(n, d, Lp), int(consumed)
+
+
 def gen_code(n: int, m: int, d: int, rng: ChaChaRng,
              field: FieldSpec) -> SparseCode:
     """Vectorized matgen.rs:115-188 — bit-identical output and RNG
-    consumption to gen_code_seq (the draw-by-draw oracle)."""
+    consumption to gen_code_seq (the draw-by-draw oracle).  Fast path:
+    C++ walk over the peeked ChaCha window; fallback: numpy stream
+    simulation."""
     if n * d < 4096:
         return gen_code_seq(n, m, d, rng, field)
     dist = UniformUsize(0, m)
     k = field.u64_limbs
     q = field.modulus / float(1 << field.num_bits)    # field-attempt accept p
     cap = int(n * (d * (1.0 + 2.0 * d / m) + k * d / q * 1.05)) + 4096
+    use_native = True
     while True:
         W = rng.peek_u64_array(cap)
-        res = _simulate_gen(W, n, m, d, dist, field)
+        res = _matgen_native(W, n, m, d, dist, field) if use_native else None
+        if res is False:                 # no native lib: numpy simulation
+            use_native = False
+            res = None
+        if res is None and not use_native:
+            res = _simulate_gen(W, n, m, d, dist, field)
         if res is not None:
             break
         cap *= 2

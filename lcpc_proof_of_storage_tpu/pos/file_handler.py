@@ -15,9 +15,10 @@ import numpy as np
 
 from ..fields.field import FieldSpec
 from .storage import (
-    ColumnDigestAccumulator, EncodedFileMetadata, EncodedFileReader,
-    EncodedFileWriter, MerkleTree, ceildiv, data_bytes_to_limbs_np,
-    file_paths, limbs_to_data_bytes_np, new_ulid, _encode_batch,
+    ColumnCVCache, ColumnDigestAccumulator, EncodedFileMetadata,
+    EncodedFileReader, EncodedFileWriter, MerkleTree, ceildiv,
+    data_bytes_to_limbs_np, file_paths, limbs_to_data_bytes_np, new_ulid,
+    _encode_batch,
 )
 
 
@@ -36,6 +37,7 @@ class FileHandler:
         self.reader = EncodedFileReader(
             paths["enc"], spec, meta.pre_encoded_size, meta.encoded_size,
             meta.rows_written, meta.row_capacity)
+        self._cv_cache: ColumnCVCache | None = None   # built on first edit
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -115,7 +117,10 @@ class FileHandler:
                 f.seek(row * self.row_data_bytes)
                 row_bytes = f.read(self.row_data_bytes)
                 self.reader.replace_row_with_decoded_bytes(row, row_bytes)
-        tree = self.recalculate_merkle_tree()
+        self.reader.flush()
+        cache = self._cv_cache_ready()
+        cache.note_rows_changed(start_row, end_row)
+        tree = self._tree_from_cache(cache)
         return original, tree
 
     def append_bytes(self, data: bytes) -> MerkleTree:
@@ -124,9 +129,11 @@ class FileHandler:
             f.write(data)
         start_row = self.total_data_bytes // self.row_data_bytes
         end_row = ceildiv(self.total_data_bytes + len(data), self.row_data_bytes)
+        cache = self._cv_cache_ready()
         if end_row > self.row_capacity:
             self.reader.set_new_capacity(end_row * 2)
             self.row_capacity = end_row * 2
+            cache.set_row_capacity(self.row_capacity)
         self.total_data_bytes += len(data)
         self.rows_written = end_row
         self.reader.rows_written = end_row
@@ -135,7 +142,11 @@ class FileHandler:
                 f.seek(row * self.row_data_bytes)
                 row_bytes = f.read(self.row_data_bytes)
                 self.reader.replace_encoded_row(row, self._encode_row_bytes(row_bytes))
-        tree = self.recalculate_merkle_tree()
+        # rewritten last partial row + newly-completed full chunks
+        self.reader.flush()
+        cache.set_rows_written(end_row)
+        cache.note_rows_changed(start_row, end_row)
+        tree = self._tree_from_cache(cache)
         self._write_metadata()
         return tree
 
@@ -160,7 +171,25 @@ class FileHandler:
         self.reader = EncodedFileReader(
             self.paths["enc"], self.spec, new_pre, new_enc,
             meta.rows_written, meta.row_capacity)
+        self._cv_cache = None                 # dims changed: rebuild lazily
         return meta, tree
+
+    def _cv_cache_ready(self) -> ColumnCVCache:
+        """Chunk-CV cache for incremental re-hash; built once (one full
+        pass), then every edit/append re-hashes only touched chunks —
+        the reference re-hashes the whole file per edit
+        (file_handler.rs:331, 474-481)."""
+        if self._cv_cache is None:
+            self._cv_cache = ColumnCVCache(
+                self.paths["enc"], self.spec, self.encoded_size,
+                self.row_capacity, self.rows_written)
+        return self._cv_cache
+
+    def _tree_from_cache(self, cache: ColumnCVCache) -> MerkleTree:
+        tree = cache.to_merkle_tree()
+        self.merkle_tree = tree
+        self._write_tree(tree)
+        return tree
 
     def recalculate_merkle_tree(self) -> MerkleTree:
         tree = self.reader.process_file_to_merkle_tree()

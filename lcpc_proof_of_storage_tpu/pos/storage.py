@@ -355,6 +355,215 @@ class MerkleTree:
         return cls(digests, (n + 1) // 2)
 
 
+# -- chunk-CV cache: incremental edit/append re-hash ------------------------
+
+def _chunk_cvs_np(window: np.ndarray, chunk0: int) -> np.ndarray:
+    """CVs of consecutive FULL chunks for all columns.
+
+    window: (n_cols, n_chunks*1024) uint8 — each column's hash-stream bytes
+    [chunk0*1024, (chunk0+n_chunks)*1024).  -> (n_cols, n_chunks, 8)."""
+    n_cols, nbytes = window.shape
+    n_chunks = nbytes // b3.CHUNK_LEN
+    out = np.empty((n_cols, n_chunks, 8), np.uint32)
+    words_all = window.reshape(n_cols, n_chunks, 16, 16, 4).astype(np.uint32)
+    words_all = (words_all[..., 0] | (words_all[..., 1] << 8)
+                 | (words_all[..., 2] << 16) | (words_all[..., 3] << 24))
+    for k in range(n_chunks):
+        cv = np.broadcast_to(IV, (n_cols, 8)).copy()
+        for bidx in range(16):
+            flags = ((b3.CHUNK_START if bidx == 0 else 0)
+                     | (b3.CHUNK_END if bidx == 15 else 0))
+            cv = compress8_np(cv, words_all[:, k, bidx],
+                              np.uint32(chunk0 + k), np.uint32(0),
+                              np.uint32(b3.BLOCK_LEN), np.uint32(flags))
+        out[:, k] = cv
+    return out
+
+
+def _digests_from_cvs_np(cvs: np.ndarray, tail: np.ndarray) -> np.ndarray:
+    """Stack-merge cached full-chunk CVs + the final (partial) chunk.
+
+    cvs: (n_cols, n_full, 8); tail: (n_cols, tail_len) with tail_len in
+    [1, 1024].  -> (n_cols, 8) digests.  Mirrors
+    Blake3ColumnAccumulator.finalize bit-for-bit."""
+    n_cols, n_full, _ = cvs.shape
+
+    def parent(left, right, root):
+        block = np.concatenate([left, right], axis=-1)
+        flags = np.uint32(b3.PARENT | (b3.ROOT if root else 0))
+        return compress8_np(np.broadcast_to(IV, (n_cols, 8)), block,
+                            np.uint32(0), np.uint32(0),
+                            np.uint32(b3.BLOCK_LEN), flags)
+
+    stack: list[np.ndarray] = []
+    for k in range(n_full):
+        stack.append(cvs[:, k])
+        total = k + 1
+        while total % 2 == 0 and len(stack) >= 2:
+            right = stack.pop()
+            left = stack.pop()
+            stack.append(parent(left, right, root=False))
+            total //= 2
+    # final chunk CV
+    tail_len = tail.shape[1]
+    buf = np.zeros((n_cols, b3.CHUNK_LEN), np.uint8)
+    buf[:, :tail_len] = tail
+    nblocks = max(1, (tail_len + b3.BLOCK_LEN - 1) // b3.BLOCK_LEN)
+    words = buf.reshape(n_cols, 16, 16, 4).astype(np.uint32)
+    words = (words[..., 0] | (words[..., 1] << 8)
+             | (words[..., 2] << 16) | (words[..., 3] << 24))
+    cv = np.broadcast_to(IV, (n_cols, 8)).copy()
+    for bidx in range(nblocks):
+        blen = min(b3.BLOCK_LEN, tail_len - bidx * b3.BLOCK_LEN)
+        flags = 0
+        if bidx == 0:
+            flags |= b3.CHUNK_START
+        if bidx == nblocks - 1:
+            flags |= b3.CHUNK_END
+            if n_full == 0:
+                flags |= b3.ROOT
+        cv = compress8_np(cv, words[:, bidx], np.uint32(n_full),
+                          np.uint32(0), np.uint32(blen), np.uint32(flags))
+    while stack:
+        left = stack.pop()
+        cv = parent(left, cv, root=(len(stack) == 0))
+    return cv
+
+
+class ColumnCVCache:
+    """Per-column blake3 full-chunk CVs of an encoded file's hash streams.
+
+    Stream of column c = 32 zero bytes ++ its on-disk encoded bytes
+    (rows_written * repr_bytes, column-major .porenc layout).  Caching the
+    CV of every full 1024-byte chunk makes a row edit cost
+    O(touched_chunks * n_cols) hashing and an append cost O(appended bytes)
+    — the reference re-hashes the WHOLE encoded file on every edit/append
+    (file_handler.rs:331, 474-481).  Digest reconstruction is the standard
+    blake3 stack merge, bit-identical to the streaming accumulator
+    (oracle: tests/test_pos_storage.py incremental-edit tests)."""
+
+    def __init__(self, path: Path, spec: FieldSpec, n_cols: int,
+                 row_capacity: int, rows_written: int):
+        self.path = Path(path)
+        self.spec = spec
+        self.n_cols = n_cols
+        self.row_capacity = row_capacity
+        self.rows_written = rows_written
+        self.cvs = np.zeros((n_cols, self._n_full(rows_written), 8),
+                            np.uint32)
+        if self.cvs.shape[1]:
+            self._refresh_chunks(0, self.cvs.shape[1])
+
+    # stream geometry --------------------------------------------------------
+    def _stream_len(self, rows: int) -> int:
+        return 32 + rows * self.spec.repr_bytes
+
+    def _n_full(self, rows: int) -> int:
+        """Full chunks, always keeping the FINAL chunk out of the cache
+        (its CV depends on finalization flags)."""
+        return max(0, (self._stream_len(rows) - 1) // b3.CHUNK_LEN)
+
+    def _col_window(self, b0: int, b1: int) -> np.ndarray:
+        """(n_cols, b1-b0) stream bytes [b0, b1) for every column (the
+        32-byte zero prefix is materialized, the rest read from disk)."""
+        W = self.spec.repr_bytes
+        out = np.zeros((self.n_cols, b1 - b0), np.uint8)
+        d0 = max(b0, 32) - 32
+        d1 = b1 - 32
+        if d1 > d0:
+            stride = self.row_capacity * W
+            off = b0 if b0 >= 32 else 32
+            with open(self.path, "rb") as f:
+                for c in range(self.n_cols):
+                    f.seek(c * stride + d0)
+                    raw = f.read(d1 - d0)
+                    out[c, off - b0 : off - b0 + len(raw)] = \
+                        np.frombuffer(raw, np.uint8)
+        return out
+
+    # updates -----------------------------------------------------------------
+    def _refresh_chunks(self, k0: int, k1: int) -> None:
+        window = self._col_window(k0 * b3.CHUNK_LEN, k1 * b3.CHUNK_LEN)
+        cvs = None
+        try:
+            from ..native import native
+            import ctypes
+            lib = native()
+            if lib is not None:
+                cvs = np.empty((self.n_cols, k1 - k0, 8), np.uint32)
+                wc = np.ascontiguousarray(window)
+                lib.pos_colhash_chunk_cvs(
+                    wc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self.n_cols, k0, k1 - k0,
+                    cvs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        except Exception:
+            cvs = None
+        if cvs is None:
+            cvs = _chunk_cvs_np(window, k0)
+        self.cvs[:, k0:k1] = cvs
+
+    def note_rows_changed(self, r0: int, r1: int) -> None:
+        """Rows [r0, r1) were rewritten on disk: refresh touched chunks."""
+        W = self.spec.repr_bytes
+        b0 = 32 + r0 * W
+        b1 = 32 + r1 * W
+        k0 = b0 // b3.CHUNK_LEN
+        k1 = min(-(-b1 // b3.CHUNK_LEN), self.cvs.shape[1])
+        if k1 > k0:
+            self._refresh_chunks(k0, k1)
+
+    def set_rows_written(self, new_rows: int) -> None:
+        """Append path: extend the cache with newly-completed full chunks
+        (the previous partial tail chunk is recomputed from disk)."""
+        old_full = self.cvs.shape[1]
+        new_full = self._n_full(new_rows)
+        self.rows_written = new_rows
+        if new_full > old_full:
+            grown = np.zeros((self.n_cols, new_full, 8), np.uint32)
+            grown[:, :old_full] = self.cvs
+            self.cvs = grown
+            self._refresh_chunks(old_full, new_full)
+        elif new_full < old_full:          # defensive; edits never shrink
+            self.cvs = self.cvs[:, :new_full].copy()
+
+    def set_row_capacity(self, row_capacity: int) -> None:
+        """Capacity doubling moves column streams on disk; the stream
+        CONTENT is unchanged, so cached CVs stay valid."""
+        self.row_capacity = row_capacity
+
+    # digests -----------------------------------------------------------------
+    def column_digests(self) -> list[bytes]:
+        n_full = self.cvs.shape[1]
+        tail_len = self._stream_len(self.rows_written) - n_full * b3.CHUNK_LEN
+        tail = self._col_window(n_full * b3.CHUNK_LEN,
+                                n_full * b3.CHUNK_LEN + tail_len)
+        digs = None
+        try:
+            from ..native import native
+            import ctypes
+            lib = native()
+            if lib is not None:
+                out = np.empty((self.n_cols, 32), np.uint8)
+                cvs = np.ascontiguousarray(self.cvs)
+                tc = np.ascontiguousarray(tail)
+                lib.pos_colhash_digests_from_cvs(
+                    cvs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    self.n_cols, n_full,
+                    tc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    tail_len,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                digs = out
+        except Exception:
+            digs = None
+        if digs is None:
+            cv = _digests_from_cvs_np(self.cvs, tail)
+            digs = cv.astype("<u4").view(np.uint8).reshape(self.n_cols, 32)
+        return [digs[c].tobytes() for c in range(self.n_cols)]
+
+    def to_merkle_tree(self) -> "MerkleTree":
+        return MerkleTree.new(self.column_digests())
+
+
 # -- encoded file writer (encoded_file_writer.rs) ---------------------------
 
 class EncodedFileWriter:
@@ -557,6 +766,11 @@ class EncodedFileReader:
         dec = np.asarray(_decode_batch(self.spec)(enc.astype(np.uint32)))[:rows]
         dec = dec[:, : self.n_per_row, :].reshape(-1, self.spec.num_limbs16)
         return limbs_to_data_bytes_np(dec, self.spec)
+
+    def flush(self) -> None:
+        """Make buffered writes visible to other handles (the chunk-CV
+        cache reads the file through its own descriptor)."""
+        self._file.flush()
 
     def replace_encoded_row(self, row: int, encoded_row: np.ndarray) -> None:
         assert row <= self.rows_written

@@ -94,6 +94,14 @@ def test_encode_decode_roundtrip_and_sizes(tmp_path, rate):
         fh.delete_all_files()
 
 
+import os
+
+#: scale knob for the big randomized suites (reference runs 100-iteration
+#: edit fuzz / 500-op metadata fuzz: lcpc_online/tests.rs:150-261, 558-651);
+#: LCPC_BIG_FUZZ=1 runs at reference scale, default keeps CI fast.
+BIG_FUZZ = os.environ.get("LCPC_BIG_FUZZ", "") not in ("", "0")
+
+
 def test_edit_fuzz(tmp_path):
     """lcpc_online/tests.rs:150-261 — randomized edits with a running
     expected-contents model + verify_all_files_agree."""
@@ -101,7 +109,7 @@ def test_edit_fuzz(tmp_path):
     nbytes = 3000
     model = bytearray(rnd.randrange(256) for _ in range(nbytes))
     fh = FileHandler.create_from_bytes(bytes(model), 8, 32, SPEC, base=tmp_path)
-    for it in range(12):
+    for it in range(100 if BIG_FUZZ else 12):
         start = rnd.randrange(nbytes - 50)
         length = rnd.randrange(1, 50)
         new = bytes(rnd.randrange(256) for _ in range(length))
@@ -115,12 +123,41 @@ def test_edit_fuzz(tmp_path):
     fh.delete_all_files()
 
 
+def test_incremental_edit_multichunk(tmp_path):
+    """Incremental chunk-CV re-hash == full re-hash on a file whose column
+    streams span several blake3 chunks (edits touch only some chunks, so
+    the cached-CV paths are actually load-bearing)."""
+    rnd = random.Random(77)
+    nbytes = 40_000          # ~715 rows -> 5-6 chunks per column stream
+    model = bytearray(rnd.randrange(256) for _ in range(nbytes))
+    fh = FileHandler.create_from_bytes(bytes(model), 8, 32, SPEC,
+                                       base=tmp_path)
+    for it in range(50 if BIG_FUZZ else 10):
+        start = rnd.randrange(nbytes - 300)
+        length = rnd.randrange(1, 300)
+        new = bytes(rnd.randrange(256) for _ in range(length))
+        original, tree = fh.edit_bytes(start, new)
+        assert original == bytes(model[start : start + length])
+        model[start : start + length] = new
+        # incremental tree must equal a from-scratch file re-hash
+        full = fh.reader.process_file_to_merkle_tree()
+        assert tree == full
+    # append across a chunk boundary, then cross-check again
+    add = bytes(rnd.randrange(256) for _ in range(3000))
+    tree = fh.append_bytes(add)
+    model += add
+    assert tree == fh.reader.process_file_to_merkle_tree()
+    assert fh.reader.decode_to_bytes()[: len(model)] == bytes(model)
+    fh.verify_all_files_agree()
+    fh.delete_all_files()
+
+
 def test_append_fuzz(tmp_path):
     """lcpc_online/tests.rs:262-360."""
     rnd = random.Random(8)
     model = bytearray(rnd.randrange(256) for _ in range(500))
     fh = FileHandler.create_from_bytes(bytes(model), 8, 32, SPEC, base=tmp_path)
-    for _ in range(6):
+    for _ in range(30 if BIG_FUZZ else 6):
         add = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 400)))
         fh.append_bytes(add)
         model += add
