@@ -129,8 +129,12 @@ class LigeroEncoding(LcEncoding):
         if self.mesh is not None:
             return self.encode_wide(rows)
         if _use_pallas(self.n_cols):
-            from ..ops.ntt_pallas import ntt_pallas
+            import os
             # rows carry coefficients only in the first n_per_row slots
+            if os.environ.get("LCPC_NTT_KERNEL", "v2") != "v1":
+                from ..ops.ntt_pallas2 import ntt_pallas2
+                return ntt_pallas2(rows, self.spec, n_nonzero=self.n_per_row)
+            from ..ops.ntt_pallas import ntt_pallas
             return ntt_pallas(rows, self.spec, n_nonzero=self.n_per_row)
         return ntt(rows, self.spec)
 

@@ -95,6 +95,28 @@ def native():
     lib.pos_colhash_digests_from_cvs.argtypes = [u32p, ctypes.c_int64,
                                                  ctypes.c_int64, u8p,
                                                  ctypes.c_int64, u8p]
+    lib.pos_ntt_rows_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
+                                     u64p, ctypes.c_int64, ctypes.c_uint64,
+                                     ctypes.c_uint64]
+    lib.pos_ntt_rows_u64.restype = ctypes.c_int
+    lib.pos_intt_rows_u64.argtypes = [u64p, ctypes.c_int64, u64p,
+                                      ctypes.c_int64, ctypes.c_uint64,
+                                      ctypes.c_uint64, ctypes.c_uint64]
+    lib.pos_intt_rows_u64.restype = ctypes.c_int
+    lib.pos_ntt_rows_from_bytes_u64.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, u64p, ctypes.c_int64, ctypes.c_uint64,
+        ctypes.c_uint64]
+    lib.pos_ntt_rows_from_bytes_u64.restype = ctypes.c_int
+    lib.pos_fd_is_memfs.argtypes = [ctypes.c_int]
+    lib.pos_fd_is_memfs.restype = ctypes.c_int
+    lib.pos_transpose_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
+                                      u64p]
+    lib.pos_scatter_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
+                                    u64p, ctypes.c_int64, u64p]
+    lib.pos_scatter_hash_u64.argtypes = [u64p, ctypes.c_int64,
+                                         ctypes.c_int64, u64p,
+                                         ctypes.c_int64, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -114,7 +136,8 @@ class NativeColumnHasher:
         import numpy as np
         arr = np.ascontiguousarray(rows_bytes, dtype=np.uint8)
         assert arr.shape[0] == self.n_cols
-        self._lib.pos_colhash_update(self._h, arr.tobytes(), arr.shape[1])
+        self._lib.pos_colhash_update(
+            self._h, ctypes.c_char_p(arr.ctypes.data), arr.shape[1])
 
     def finalize(self):
         import numpy as np
@@ -180,6 +203,108 @@ class NativeStrobe:
                 self._lib.pos_strobe_free(self._h)
             except Exception:
                 pass
+
+
+def ntt_rows_u64(vals, out, n: int, p: int, w: int) -> bool:
+    """Batched forward NTT for one-u64 fields: vals (k, n_in) -> out (k, n).
+    Both C-contiguous uint64 numpy arrays; returns False if unavailable."""
+    lib = native()
+    if lib is None:
+        return False
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    k, n_in = vals.shape
+    rc = lib.pos_ntt_rows_u64(vals.ctypes.data_as(u64p), k, n_in,
+                              out.ctypes.data_as(u64p), n, p, w)
+    return rc == 0
+
+
+def ntt_rows_from_bytes_u64(data: bytes, cap: int, k: int, n_in: int,
+                            out, n: int, p: int, w: int) -> bool:
+    """Forward NTT straight from raw data bytes (cap-byte LE chunks):
+    k rows of n_in coefficients -> out (k, n)."""
+    lib = native()
+    if lib is None:
+        return False
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.pos_ntt_rows_from_bytes_u64(data, len(data), cap, k, n_in,
+                                         out.ctypes.data_as(u64p), n, p, w)
+    return rc == 0
+
+
+def intt_rows_u64(vals, out, n: int, p: int, w_inv: int, n_inv: int) -> bool:
+    """Batched inverse NTT: vals (k, n) -> out (k, n) coefficient rows."""
+    lib = native()
+    if lib is None:
+        return False
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.pos_intt_rows_u64(vals.ctypes.data_as(u64p), vals.shape[0],
+                               out.ctypes.data_as(u64p), n, p, w_inv, n_inv)
+    return rc == 0
+
+
+def transpose_u64(src, dst) -> bool:
+    """(k, n) -> (n, k) u64 transpose (both C-contiguous numpy)."""
+    lib = native()
+    if lib is None:
+        return False
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.pos_transpose_u64(src.ctypes.data_as(u64p), src.shape[0],
+                          src.shape[1], dst.ctypes.data_as(u64p))
+    return True
+
+
+def scatter_u64(src, dst_base_addr: int, stride_elems: int,
+                contig=None) -> bool:
+    """Scatter row-major (k, n) u64 batch into a column-major mapped region
+    (element (r, c) -> base[c*stride + r]) and optionally a contiguous
+    (n, k) staging array."""
+    lib = native()
+    if lib is None:
+        return False
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    cp = contig.ctypes.data_as(u64p) if contig is not None else None
+    lib.pos_scatter_u64(src.ctypes.data_as(u64p), src.shape[0], src.shape[1],
+                        ctypes.cast(dst_base_addr, u64p), stride_elems, cp)
+    return True
+
+
+def scatter_hash_u64(src, dst_base_addr: int, stride_elems: int,
+                     hasher_handle) -> bool:
+    """Fused scatter + per-column Blake3 absorb of a row-major (k, n) batch
+    (hasher_handle: NativeColumnHasher raw handle covering all n columns,
+    or None to skip hashing)."""
+    lib = native()
+    if lib is None:
+        return False
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.pos_scatter_hash_u64(src.ctypes.data_as(u64p), src.shape[0],
+                             src.shape[1], ctypes.cast(dst_base_addr, u64p),
+                             stride_elems, hasher_handle)
+    return True
+
+
+def pwrite_strided_blocks(fd: int, buf, start: int, stride: int,
+                          block: int, count: int) -> bool:
+    """count pwrites of `block` bytes from contiguous buf, `stride` apart."""
+    lib = native()
+    if lib is None:
+        return False
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.pos_pwrite_strided_blocks(fd, buf.ctypes.data_as(u8p), start,
+                                       stride, block, count)
+    return rc == 0
+
+
+def pread_strided_blocks(fd: int, buf, start: int, stride: int,
+                         block: int, count: int) -> bool:
+    """count preads of `block` bytes into contiguous buf, `stride` apart."""
+    lib = native()
+    if lib is None:
+        return False
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.pos_pread_strided_blocks(fd, buf.ctypes.data_as(u8p), start,
+                                      stride, block, count)
+    return rc == 0
 
 
 def blake3_native(data: bytes) -> bytes | None:

@@ -16,6 +16,9 @@
 #if defined(__unix__) || defined(__APPLE__)
 #include <unistd.h>
 #endif
+#if defined(__linux__)
+#include <sys/vfs.h>
+#endif
 
 extern "C" {
 
@@ -231,25 +234,28 @@ static void colhash_absorb_chunk(ColState* c) {
   c->buf_len = 0;
 }
 
-// data: (n_cols, k) row-major — k more bytes for every column.
-extern "C" void pos_colhash_update(PosColumnHasher* h, const uint8_t* data,
-                                   size_t k) {
-  for (size_t i = 0; i < h->n_cols; i++) {
-    ColState* c = &h->cols[i];
-    const uint8_t* src = data + i * k;
-    size_t pos = 0;
-    while (pos < k) {
-      if (c->buf_len == 1024) colhash_absorb_chunk(c);
-      size_t take = 1024 - c->buf_len;
-      if (take > k - pos) take = k - pos;
-      memcpy(c->buf + c->buf_len, src + pos, take);
-      c->buf_len += (int)take;
-      pos += take;
-    }
+static void colhash_update_one(ColState* c, const uint8_t* src, size_t k) {
+  size_t pos = 0;
+  while (pos < k) {
+    if (c->buf_len == 1024) colhash_absorb_chunk(c);
+    size_t take = 1024 - c->buf_len;
+    if (take > k - pos) take = k - pos;
+    memcpy(c->buf + c->buf_len, src + pos, take);
+    c->buf_len += (int)take;
+    pos += take;
   }
 }
 
+// data: (n_cols, k) row-major — k more bytes for every column.
+extern "C" void pos_colhash_update(PosColumnHasher* h, const uint8_t* data,
+                                   size_t k) {
+#pragma omp parallel for schedule(static)
+  for (size_t i = 0; i < h->n_cols; i++)
+    colhash_update_one(&h->cols[i], data + i * k, k);
+}
+
 extern "C" void pos_colhash_finalize(PosColumnHasher* h, uint8_t* out) {
+#pragma omp parallel for schedule(static)
   for (size_t i = 0; i < h->n_cols; i++) {
     ColState* c = &h->cols[i];
     uint32_t cv[8];
@@ -579,6 +585,324 @@ int pos_pwrite_strided_blocks(int fd, const uint8_t* buf, uint64_t start,
 }
 
 #endif  // unix
+
+// Is fd on a memory-backed filesystem (tmpfs/ramfs)?  The writer fallocates
+// on block filesystems (mmap stores into unwritten-extent space beat ext4
+// delayed allocation ~5x) but must NOT on tmpfs, where fallocated-but-
+// unmapped pages take a ~10x slower fault path than plain sparse faults.
+int pos_fd_is_memfs(int fd) {
+#if defined(__linux__)
+  struct statfs s;
+  if (fstatfs(fd, &s) != 0) return 0;
+  return (s.f_type == 0x01021994 /* TMPFS */ ||
+          s.f_type == 0x858458f6 /* RAMFS */) ? 1 : 0;
+#else
+  (void)fd;
+  return 0;
+#endif
+}
+
+// ---------------------------------------------------------------------------
+// Single-word field NTT (host streaming-encode path)
+// ---------------------------------------------------------------------------
+// The PoS streaming writer (encoded_file_writer.rs:309-389) must sustain
+// >= 100 MB/s on a plain host where the device path would round-trip
+// through a slow interconnect.  For one-u64 fields (ft63 / writeable_ft63,
+// p < 2^63) the whole encode runs natively: Shoup single-word modmul, the
+// same classical DIT butterflies as ops/ntt.py (bit-reversed load, natural
+// output order), zero-padding-aware stage pruning, OpenMP across rows.
+// Outputs are canonical residues, hence bit-identical to the device NTT.
+
+static inline uint64_t mulmod_u64(uint64_t a, uint64_t b, uint64_t p) {
+  return (uint64_t)(((unsigned __int128)a * b) % p);
+}
+
+static uint64_t powmod_u64(uint64_t a, uint64_t e, uint64_t p) {
+  uint64_t r = 1 % p;
+  while (e) {
+    if (e & 1) r = mulmod_u64(r, a, p);
+    a = mulmod_u64(a, a, p);
+    e >>= 1;
+  }
+  return r;
+}
+
+// Shoup multiply-by-constant: wsh = floor(w * 2^64 / p); needs p < 2^63.
+static inline uint64_t shoup_mul(uint64_t a, uint64_t w, uint64_t wsh,
+                                 uint64_t p) {
+  uint64_t q = (uint64_t)(((unsigned __int128)a * wsh) >> 64);
+  uint64_t r = a * w - q * p;  // in [0, 2p)
+  return r >= p ? r - p : r;
+}
+
+// Twiddle tables in the classic "size-n" layout: tw[half + j] = wm^j for
+// wm = w^(n/(2*half)), j in [0, half).  tsh holds the Shoup companions.
+static void ntt_build_tables(uint64_t w, uint64_t p, int64_t n,
+                             uint64_t* tw, uint64_t* tsh) {
+  tw[0] = 1;
+  for (int64_t half = 1; half < n; half <<= 1) {
+    uint64_t wm = powmod_u64(w, (uint64_t)(n / (2 * half)), p);
+    uint64_t v = 1;
+    for (int64_t j = 0; j < half; j++) {
+      tw[half + j] = v;
+      v = mulmod_u64(v, wm, p);
+    }
+  }
+  for (int64_t i = 0; i < n; i++)
+    tsh[i] = (uint64_t)((((unsigned __int128)tw[i]) << 64) / p);
+}
+
+// Shared butterfly stage driver: in-place stages [skip, logn) on one row.
+static void ntt_run_stages(uint64_t* x, int64_t n, int logn, int skip,
+                           const uint64_t* tw, const uint64_t* tsh,
+                           uint64_t p) {
+  int s = skip;
+  if (((logn - skip) & 1) != 0) {
+    // odd stage count: one radix-2 pass, then merged pairs the rest
+    int64_t half = (int64_t)1 << s;
+    for (int64_t j0 = 0; j0 < n; j0 += 2 * half) {
+      for (int64_t j = 0; j < half; j++) {
+        uint64_t u = x[j0 + j];
+        uint64_t v = shoup_mul(x[j0 + j + half], tw[half + j],
+                               tsh[half + j], p);
+        uint64_t a = u + v;
+        x[j0 + j] = a >= p ? a - p : a;
+        x[j0 + j + half] = u >= v ? u - v : u - v + p;
+      }
+    }
+    s++;
+  }
+  // merged stage pairs: one pass of 4-point butterflies does stages
+  // (s, s+1) -- half the row traffic and 3/4 the twiddle loads of two
+  // radix-2 passes (muls are unchanged; the pass is memory-bound)
+  for (; s + 1 < logn; s += 2) {
+    int64_t h = (int64_t)1 << s;
+    const uint64_t* t1w = tw + h;
+    const uint64_t* t1s = tsh + h;
+    const uint64_t* t2w = tw + 2 * h;
+    const uint64_t* t2s = tsh + 2 * h;
+    for (int64_t i0 = 0; i0 < n; i0 += 4 * h) {
+      uint64_t* xa = x + i0;
+      for (int64_t j = 0; j < h; j++) {
+        uint64_t a = xa[j], b = xa[j + h], c = xa[j + 2 * h],
+                 d = xa[j + 3 * h];
+        uint64_t bb = shoup_mul(b, t1w[j], t1s[j], p);
+        uint64_t dd = shoup_mul(d, t1w[j], t1s[j], p);
+        uint64_t a1 = a + bb;
+        a1 = a1 >= p ? a1 - p : a1;
+        uint64_t b1 = a >= bb ? a - bb : a - bb + p;
+        uint64_t c1 = c + dd;
+        c1 = c1 >= p ? c1 - p : c1;
+        uint64_t d1 = c >= dd ? c - dd : c - dd + p;
+        uint64_t cc = shoup_mul(c1, t2w[j], t2s[j], p);
+        uint64_t ee = shoup_mul(d1, t2w[j + h], t2s[j + h], p);
+        uint64_t A = a1 + cc;
+        xa[j] = A >= p ? A - p : A;
+        uint64_t Bv = b1 + ee;
+        xa[j + h] = Bv >= p ? Bv - p : Bv;
+        xa[j + 2 * h] = a1 >= cc ? a1 - cc : a1 - cc + p;
+        xa[j + 3 * h] = b1 >= ee ? b1 - ee : b1 - ee + p;
+      }
+    }
+  }
+}
+
+// Batched forward NTT: in (k, n_in) coefficient rows -> out (k, n)
+// evaluation rows (values < p; n a power of two; n_in <= n).  `w` must be
+// a primitive n-th root of unity mod p (FieldSpec.nth_root_of_unity(n)).
+int pos_ntt_rows_u64(const uint64_t* in, int64_t k, int64_t n_in,
+                     uint64_t* out, int64_t n, uint64_t p, uint64_t w) {
+  if (n < 2 || (n & (n - 1)) || n_in > n || n_in < 1 || p >> 63) return -1;
+  int logn = 0;
+  while ((int64_t)1 << logn < n) logn++;
+  // zero-pad stage pruning (ops/ntt_pallas.py n_nonzero semantics): the
+  // first `skip` stages only duplicate values, so load with
+  // idx[j] = rev(j & ~(2^skip - 1)) and start at stage `skip`.
+  int64_t np2 = 1;
+  while (np2 < n_in) np2 <<= 1;
+  int skip = 0;
+  while ((np2 << (skip + 1)) <= n) skip++;
+  uint64_t* tw = new uint64_t[n];
+  uint64_t* tsh = new uint64_t[n];
+  ntt_build_tables(w, p, n, tw, tsh);
+  int32_t* idx = new int32_t[n];
+  int64_t mask = ~(((int64_t)1 << skip) - 1);
+  for (int64_t j = 0; j < n; j++) {
+    int64_t jj = j & mask, r = 0;
+    for (int b = 0; b < logn; b++) r |= ((jj >> b) & 1) << (logn - 1 - b);
+    idx[j] = (int32_t)r;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t row = 0; row < k; row++) {
+    const uint64_t* src = in + row * n_in;
+    uint64_t* x = out + row * n;
+    for (int64_t j = 0; j < n; j++) {
+      int32_t s = idx[j];
+      x[j] = s < n_in ? src[s] : 0;
+    }
+    ntt_run_stages(x, n, logn, skip, tw, tsh, p);
+  }
+  delete[] idx;
+  delete[] tsh;
+  delete[] tw;
+  return 0;
+}
+
+// Forward NTT straight from raw data bytes: coefficient (r, j) is the
+// little-endian value of data[(r*n_in+j)*cap : +cap] (zero past nbytes) —
+// DataField::from_byte_vec semantics fused into the bit-reversed load, so
+// the host streaming path never materializes a coefficient array.
+int pos_ntt_rows_from_bytes_u64(const uint8_t* data, int64_t nbytes,
+                                int64_t cap, int64_t k, int64_t n_in,
+                                uint64_t* out, int64_t n, uint64_t p,
+                                uint64_t w) {
+  if (n < 2 || (n & (n - 1)) || n_in > n || n_in < 1 || p >> 63 ||
+      cap < 1 || cap > 8)
+    return -1;
+  int logn = 0;
+  while ((int64_t)1 << logn < n) logn++;
+  int64_t np2 = 1;
+  while (np2 < n_in) np2 <<= 1;
+  int skip = 0;
+  while ((np2 << (skip + 1)) <= n) skip++;
+  uint64_t* tw = new uint64_t[n];
+  uint64_t* tsh = new uint64_t[n];
+  ntt_build_tables(w, p, n, tw, tsh);
+  int32_t* idx = new int32_t[n];
+  int64_t mask = ~(((int64_t)1 << skip) - 1);
+  for (int64_t j = 0; j < n; j++) {
+    int64_t jj = j & mask, r = 0;
+    for (int b = 0; b < logn; b++) r |= ((jj >> b) & 1) << (logn - 1 - b);
+    idx[j] = (int32_t)r;
+  }
+  uint64_t capmask = cap == 8 ? ~0ULL : ((1ULL << (8 * cap)) - 1);
+#pragma omp parallel for schedule(static)
+  for (int64_t row = 0; row < k; row++) {
+    uint64_t* x = out + row * n;
+    for (int64_t j = 0; j < n; j++) {
+      int32_t s = idx[j];
+      uint64_t v = 0;
+      if (s < n_in) {
+        int64_t off = (row * n_in + s) * cap;
+        if (off + 8 <= nbytes) {
+          memcpy(&v, data + off, 8);
+          v &= capmask;
+        } else if (off < nbytes) {
+          int64_t take = nbytes - off;
+          if (take > cap) take = cap;
+          memcpy(&v, data + off, (size_t)take);
+          v &= capmask;
+        }
+      }
+      x[j] = v;
+    }
+    ntt_run_stages(x, n, logn, skip, tw, tsh, p);
+  }
+  delete[] idx;
+  delete[] tsh;
+  delete[] tw;
+  return 0;
+}
+
+// Batched inverse NTT: in (k, n) evaluation rows -> out (k, n) coefficient
+// rows.  w_inv must be the inverse primitive n-th root; n_inv = n^-1 mod p.
+int pos_intt_rows_u64(const uint64_t* in, int64_t k, uint64_t* out,
+                      int64_t n, uint64_t p, uint64_t w_inv,
+                      uint64_t n_inv) {
+  int rc = pos_ntt_rows_u64(in, k, n, out, n, p, w_inv);
+  if (rc != 0) return rc;
+  uint64_t nsh = (uint64_t)((((unsigned __int128)n_inv) << 64) / p);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < k * n; i++)
+    out[i] = shoup_mul(out[i], n_inv, nsh, p);
+  return 0;
+}
+
+// One-pass scatter of a row-major (k, n) encoded batch into (a) the
+// column-major mapped .porenc region at dst[c*stride + r] and (b) an
+// optional contiguous (n, k) staging block for the column hasher.  Writing
+// through a fallocate'd mmap turns the writer's 4096 scattered pwrites per
+// batch (ext4 block-allocation storms) into page-cache memcpys.
+void pos_scatter_u64(const uint64_t* src, int64_t k, int64_t n,
+                     uint64_t* dst, int64_t stride, uint64_t* contig) {
+  const int64_t B = 32;
+#pragma omp parallel for schedule(static)
+  for (int64_t j0 = 0; j0 < n; j0 += B) {
+    int64_t j1 = j0 + B < n ? j0 + B : n;
+    if (contig) {
+      // transpose into the contiguous staging block first, then one
+      // sequential memcpy per column into the mapped region (measured ~10x
+      // faster than interleaving strided stores with the staging reads)
+      for (int64_t i0 = 0; i0 < k; i0 += B) {
+        int64_t i1 = i0 + B < k ? i0 + B : k;
+        for (int64_t j = j0; j < j1; j++) {
+          uint64_t* out = contig + j * k;
+          for (int64_t i = i0; i < i1; i++) out[i] = src[i * n + j];
+        }
+      }
+      for (int64_t j = j0; j < j1; j++)
+        memcpy(dst + j * stride, contig + j * k, (size_t)k * 8);
+    } else {
+      for (int64_t i0 = 0; i0 < k; i0 += B) {
+        int64_t i1 = i0 + B < k ? i0 + B : k;
+        for (int64_t j = j0; j < j1; j++) {
+          uint64_t* cold = dst + j * stride;
+          for (int64_t i = i0; i < i1; i++) cold[i] = src[i * n + j];
+        }
+      }
+    }
+  }
+}
+
+// Fused scatter + column hash: transpose a row-major (k, n) encoded batch
+// through a small per-thread staging buffer, then per column memcpy the
+// contiguous run into the mapped .porenc region AND absorb it into that
+// column's Blake3 state while it is still cache-hot.  One read of src, one
+// write of dst, hash from L1 — no full-size staging array.
+void pos_scatter_hash_u64(const uint64_t* src, int64_t k, int64_t n,
+                          uint64_t* dst, int64_t stride,
+                          PosColumnHasher* h) {
+  const int64_t B = 32;
+#pragma omp parallel
+  {
+    uint64_t* buf = new uint64_t[B * k];
+#pragma omp for schedule(static)
+    for (int64_t j0 = 0; j0 < n; j0 += B) {
+      int64_t j1 = j0 + B < n ? j0 + B : n;
+      for (int64_t i0 = 0; i0 < k; i0 += B) {
+        int64_t i1 = i0 + B < k ? i0 + B : k;
+        for (int64_t j = j0; j < j1; j++) {
+          uint64_t* out = buf + (j - j0) * k;
+          for (int64_t i = i0; i < i1; i++) out[i] = src[i * n + j];
+        }
+      }
+      for (int64_t j = j0; j < j1; j++) {
+        const uint64_t* col = buf + (j - j0) * k;
+        memcpy(dst + j * stride, col, (size_t)k * 8);
+        if (h) colhash_update_one(&h->cols[j], (const uint8_t*)col,
+                                  (size_t)k * 8);
+      }
+    }
+    delete[] buf;
+  }
+}
+
+// Blocked (k, n) -> (n, k) u64 transpose (column-major staging for the
+// strided .porenc writes and the per-column hash streams).
+void pos_transpose_u64(const uint64_t* src, int64_t k, int64_t n,
+                       uint64_t* dst) {
+  const int64_t B = 32;
+#pragma omp parallel for collapse(2) schedule(static)
+  for (int64_t i0 = 0; i0 < k; i0 += B) {
+    for (int64_t j0 = 0; j0 < n; j0 += B) {
+      int64_t i1 = i0 + B < k ? i0 + B : k;
+      int64_t j1 = j0 + B < n ? j0 + B : n;
+      for (int64_t i = i0; i < i1; i++)
+        for (int64_t j = j0; j < j1; j++)
+          dst[j * k + i] = src[i * n + j];
+    }
+  }
+}
 
 // ---------------------------------------------------------------------------
 // Brakedown matgen walk (matgen.rs:115-188 draw-by-draw semantics)

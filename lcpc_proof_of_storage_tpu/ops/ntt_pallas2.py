@@ -1,0 +1,390 @@
+"""Second-generation Pallas NTT kernels: constant-multiply tables +
+pair-grouped butterflies.
+
+Two structural wins over ops/ntt_pallas.py (v1):
+
+1. **Table multiply instead of Montgomery.**  Every NTT multiply is by a
+   twiddle constant c known when the stage tables are built, so the kernel
+   receives, for each position, the L limb-rows of (c * 2^(16*i) mod p) for
+   every operand-limb index i.  The product is then
+
+       a * c mod p  ==  (sum_i a_i * C_i) mod p,   C_i = c * 2^(16 i) mod p
+
+   -- one bank of L scalar-row x limb-block multiplies accumulated in
+   lo/hi splits, one carry normalization, and a short Barrett tail (the
+   value is < 2^20 * p, so the quotient estimate has 2 limbs instead of
+   L+1).  v1's Montgomery REDC needs three full LxL limb convolutions and
+   six carry chains per multiply; the table multiply needs one convolution
+   and ~2.5x fewer vector ops.
+
+2. **Pair-grouped butterflies.**  A DIT butterfly needs ONE twiddle product
+   per (lo, hi) pair: y = w * x_hi, outputs x_lo + y and x_lo - y.  v1
+   computed w*x at full width (the product at lo positions is discarded --
+   half the multiplies wasted; the streamed large stages recomputed the
+   product on both sides of the pair).  Here every stage with half >= 128
+   lanes packs the hi positions into a half-width block (static lane
+   slicing at >=128-lane granularity), multiplies once, and writes both
+   outputs.  Stages with half < 128 (sub-lane-tile distances) stay at full
+   width with roll-based exchange, but still use the cheap table multiply.
+
+Same contract and bit-identical results as ops/ntt.py (canonical residues
+at every butterfly; oracle: tests/test_ntt_pallas2.py).  Forward transform
+only -- the inverse path keeps the v1 Montgomery kernels (not commit-hot).
+
+Reference parity note: this replaces fffft's per-row recursive NTT
+(lcpc-ligero-pc/src/lib.rs:162-164) for the commit encode hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.field import FieldSpec
+from .ntt import _bit_reverse_perm, _ntt_tables
+from .ntt_pallas import (
+    MASK16,
+    U32,
+    _carry_prop,
+    _cond_sub_p,
+    _const_block,
+    _conv_acc,
+    _field_consts_np,
+    _limbs_const,
+    _mod_add,
+    _mod_sub,
+    _pad_rows,
+    _shift_down,
+    _sub_block,
+)
+
+import os
+
+#: lane-tile width for v2 (tables are L x L limb-rows per lane, so VMEM
+#: budget prefers a narrower tile than v1's 2048)
+_TILE2 = int(os.environ.get("LCPC_PALLAS2_TILE", "1024"))
+#: minimum pair distance for packed (half-width-multiply) stages
+_PACK = 128
+
+
+# ---------------------------------------------------------------------------
+# table multiply
+# ---------------------------------------------------------------------------
+
+def _cmul_block(a: jnp.ndarray, w: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """a (L, T) canonical x table w ((L+?)*L rows, T) -> a*c mod p (L, T).
+
+    w rows [i*L, (i+1)*L) hold the L limbs of (c * 2^(16 i) mod p) for the
+    lane's twiddle c.  All products are scalar-row x block; lo/hi splits
+    accumulate separately (16 terms of 16 bits each: max 2^20 < 2^32)."""
+    L = spec.num_limbs16
+    T = a.shape[1]
+    mu_np, p_np, mu_len = _field_consts_np(spec)
+    mu = _const_block(mu_np, T)
+    p_pad = _const_block(p_np, T, rows=L + 1)
+
+    acc_lo = jnp.zeros((L + 1, T), U32)
+    acc_hi = jnp.zeros((L + 1, T), U32)
+    for i in range(L):
+        prod = a[i : i + 1] * w[i * L : (i + 1) * L]        # (L, T) exact
+        acc_lo = acc_lo + _pad_rows(prod & MASK16, 0, L + 1)
+        acc_hi = acc_hi + _pad_rows(prod >> 16, 0, L + 1)
+    digits = acc_lo + _shift_down(acc_hi, 1)
+    z = _carry_prop(digits, L + 2)                          # exact < 2^20 p
+
+    # short Barrett: z >> 16(L-1) has 3 limbs; q = (q1*mu) >> 16(L+1) has 2
+    q1 = z[L - 1 :]                                         # (3, T)
+    q_wide = _carry_prop(_conv_acc(q1, mu, 3 + mu_len + 1), 3 + mu_len)
+    q = q_wide[L + 1 : L + 3]                               # (2, T)
+    qp = _carry_prop(_conv_acc(q, _const_block(p_np, T), L + 2), L + 1)
+    r, _ = _sub_block(z[: L + 1], qp)                       # r < 3p exact
+    r = _cond_sub_p(r, p_pad)
+    r = _cond_sub_p(r, p_pad)
+    return r[:L]
+
+
+# ---------------------------------------------------------------------------
+# stage kernels
+# ---------------------------------------------------------------------------
+
+def _lane_slices(x: jnp.ndarray, group: int, part: int, half: int) -> jnp.ndarray:
+    """Concat x[:, g*group+part*half : +half] over all pair groups g."""
+    T = x.shape[1]
+    parts = [x[:, g * group + part * half : g * group + part * half + half]
+             for g in range(T // group)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _interleave(lo: jnp.ndarray, hi: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Inverse of _lane_slices: rebuild [lo_0, hi_0, lo_1, hi_1, ...]."""
+    Th = lo.shape[1]
+    parts = []
+    for g in range(Th // half):
+        parts.append(lo[:, g * half : (g + 1) * half])
+        parts.append(hi[:, g * half : (g + 1) * half])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _stages_kernel_in_tile(spec: FieldSpec, halves: tuple):
+    """All stages with half < T in one VMEM-resident kernel.
+
+    half < _PACK: full-width table mul, roll-based partner exchange
+    (w table covers every lane; the product at lo lanes equals the lo
+    partner's product, so rolls provide y_partner).
+    half >= _PACK: hi lanes packed to half width via static lane slices,
+    ONE multiply per pair, interleaved write-back.
+    w_ref rows: concatenated per-stage tables (full: L*L rows at T lanes;
+    packed: L*L rows at T/2 lanes zero-padded to T).  lo_ref: (n_full, T)
+    lo masks for the full-width stages only."""
+    L = spec.num_limbs16
+
+    def kernel(x_ref, w_ref, lo_ref, out_ref):
+        x = x_ref[0]
+        T = x.shape[1]
+        _, p_np, _ = _field_consts_np(spec)
+        p_pad = _const_block(p_np, T, rows=L + 1)
+        p = p_pad[:L]
+        p_pad_h = _const_block(p_np, T // 2, rows=L + 1)
+        p_h = p_pad_h[:L]
+        row = 0
+        nf = 0
+        for half in halves:
+            w = w_ref[row : row + L * L]
+            row += L * L
+            if half < _PACK:
+                lo = lo_ref[nf : nf + 1]
+                nf += 1
+                y = _cmul_block(x, w, spec)
+                xp = jnp.where(lo > 0, pltpu.roll(x, T - half, 1),
+                               pltpu.roll(x, half, 1))
+                yp = jnp.where(lo > 0, pltpu.roll(y, T - half, 1),
+                               pltpu.roll(y, half, 1))
+                lo_val = _mod_add(x, yp, p_pad, L)
+                hi_val = _mod_sub(xp, y, p, L)
+                x = jnp.where(lo > 0, lo_val, hi_val)
+            else:
+                group = 2 * half
+                xl = _lane_slices(x, group, 0, half)        # (L, T/2)
+                xh = _lane_slices(x, group, 1, half)
+                y = _cmul_block(xh, w[:, : T // 2], spec)
+                lo_val = _mod_add(xl, y, p_pad_h, L)
+                hi_val = _mod_sub(xl, y, p_h, L)
+                x = _interleave(lo_val, hi_val, half)
+        out_ref[0] = x
+
+    return kernel
+
+
+def _stage_kernel_large_pair(spec: FieldSpec):
+    """Stage with half >= T: x viewed (batch, L, G, 2, half); one block
+    carries the lo AND hi tiles of a pair (the pair axis must stay whole:
+    Mosaic requires the last two block dims equal the array dims or its
+    tiling), so each instance does ONE multiply per pair and writes both
+    outputs (v1 recomputed the product on each side)."""
+    L = spec.num_limbs16
+
+    def kernel(x_ref, w_ref, out_ref):
+        xl = x_ref[0, :, 0, 0]
+        xh = x_ref[0, :, 0, 1]
+        T = xl.shape[1]
+        _, p_np, _ = _field_consts_np(spec)
+        p_pad = _const_block(p_np, T, rows=L + 1)
+        y = _cmul_block(xh, w_ref[:], spec)
+        out_ref[0, :, 0, 0] = _mod_add(xl, y, p_pad, L)
+        out_ref[0, :, 0, 1] = _mod_sub(xl, y, p_pad[:L], L)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host-side tables
+# ---------------------------------------------------------------------------
+
+def _cmul_rows_np(vals, spec: FieldSpec) -> np.ndarray:
+    """(m,) python-int twiddles -> (L*L, m) uint32 table: rows [i*L,(i+1)*L)
+    are the limbs of (val * 2^(16 i) mod p)."""
+    L = spec.num_limbs16
+    p = spec.modulus
+    m = len(vals)
+    out = np.empty((L * L, m), np.uint32)
+    cur = [int(v) for v in vals]
+    wbytes = 2 * L
+    for i in range(L):
+        buf = b"".join(c.to_bytes(wbytes, "little") for c in cur)
+        limbs = np.frombuffer(buf, "<u2").reshape(m, L).T    # (L, m)
+        out[i * L : (i + 1) * L] = limbs
+        if i + 1 < L:
+            cur = [(c << 16) % p for c in cur]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_ints(spec: FieldSpec, n: int, inverse: bool) -> tuple:
+    """Per-stage twiddles as python ints: stage s has period half=2^s with
+    W_s[t] = w_m^t (ops/ntt.py table semantics)."""
+    w = spec.nth_root_of_unity(n)
+    if inverse:
+        w = spec.inv(w)
+    log_n = n.bit_length() - 1
+    stages = []
+    for s in range(log_n):
+        half = 1 << s
+        wm = pow(w, n // (2 * half), spec.modulus)
+        vals = [1] * half
+        for k in range(1, half):
+            vals[k] = (vals[k - 1] * wm) % spec.modulus
+        stages.append(tuple(vals))
+    return tuple(stages)
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_tables(spec: FieldSpec, n: int, skip: int, inverse: bool):
+    """numpy tables for every stage >= skip.
+
+    In-tile stages (half < T): one stacked (rows, T) array (full-width
+    stages tiled to T lanes; packed stages at T/2 lanes zero-padded to T)
+    plus the full-stage lo-mask block.
+    Large stages (half >= T): per-stage compact (L*L, half) arrays (the
+    kernel's index map picks T-lane tiles; identical for every pair group
+    and batch row, so the block is fetched only when the t-tile changes)."""
+    L = spec.num_limbs16
+    T = min(_TILE2, n)
+    log_n = n.bit_length() - 1
+    stages = _twiddle_ints(spec, n, inverse)
+    _, _, lo_mask = _ntt_tables(spec, n, inverse)
+
+    in_tile_rows = []
+    lo_rows = []
+    halves = []
+    for s in range(skip, log_n):
+        half = 1 << s
+        if half >= T:
+            break
+        halves.append(half)
+        vals = stages[s]
+        if half < _PACK:
+            reps = np.array([vals[t % half] for t in range(T)], object)
+            in_tile_rows.append(_cmul_rows_np(reps, spec))
+            lo_rows.append(lo_mask[s][:T].astype(np.uint32))
+        else:
+            reps = np.array([vals[t % half] for t in range(T // 2)], object)
+            tab = np.zeros((L * L, T), np.uint32)
+            tab[:, : T // 2] = _cmul_rows_np(reps, spec)
+            in_tile_rows.append(tab)
+    w_in_tile = (np.concatenate(in_tile_rows, axis=0)
+                 if in_tile_rows else np.zeros((0, T), np.uint32))
+    lo_in_tile = (np.stack(lo_rows) if lo_rows
+                  else np.zeros((0, T), np.uint32))
+
+    large = {}
+    for s in range(max(skip, T.bit_length() - 1), log_n):
+        half = 1 << s
+        large[s] = _cmul_rows_np(np.array(stages[s], object), spec)
+    return tuple(halves), w_in_tile, lo_in_tile, large
+
+
+# ---------------------------------------------------------------------------
+# pallas_call builders
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _in_tile_call(spec: FieldSpec, n: int, batch: int, halves: tuple,
+                  w_rows: int, n_full: int):
+    L = spec.num_limbs16
+    T = min(_TILE2, n)
+    nt = n // T
+    kernel = _stages_kernel_in_tile(spec, halves)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, L, n), jnp.uint32),
+        grid=(batch, nt),
+        in_specs=[
+            pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rows, T), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(n_full, 1), T), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _large_pair_call(spec: FieldSpec, n: int, half: int, batch: int):
+    L = spec.num_limbs16
+    T = min(_TILE2, n)
+    G = n // (2 * half)
+    tt = half // T
+    kernel = _stage_kernel_large_pair(spec)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, L, G, 2, half), jnp.uint32),
+        grid=(tt, batch, G),
+        in_specs=[
+            pl.BlockSpec((1, L, 1, 2, T), lambda t, b, g: (b, 0, g, 0, t),
+                         memory_space=pltpu.VMEM),
+            # twiddles depend only on t (position within half): constant
+            # across the two faster grid axes, so refetched tt times total
+            pl.BlockSpec((L * L, T), lambda t, b, g: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, 1, 2, T), lambda t, b, g: (b, 0, g, 0, t),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def wrapped(x, w):
+        batch_, L_, n_ = x.shape
+        x5 = x.reshape(batch_, L_, G, 2, half)
+        out = call(x5, w)
+        return out.reshape(batch_, L_, n_)
+
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
+                n_nonzero: int | None = None) -> jnp.ndarray:
+    """Forward NTT along axis -2; bit-identical to ops.ntt.ntt.
+
+    x: (batch, n, L).  n_nonzero: zero-padding promise (stage pruning, same
+    semantics as ops/ntt_pallas.py)."""
+    batch, n, L = x.shape
+    assert n & (n - 1) == 0 and n >= 256, "pallas path needs pow2 n >= 256"
+    log_n = n.bit_length() - 1
+    T = min(_TILE2, n)
+
+    skip = 0
+    if n_nonzero is not None and 0 < n_nonzero < n:
+        np2 = 1 if n_nonzero <= 1 else 1 << (n_nonzero - 1).bit_length()
+        skip = (n // np2).bit_length() - 1
+    rev = _bit_reverse_perm(n)
+    if skip:
+        idx = rev[np.arange(n) & ~((1 << skip) - 1)]
+    else:
+        idx = rev
+    x = jnp.take(x, jnp.asarray(idx), axis=-2)
+    xm = jnp.transpose(x, (0, 2, 1))                       # (batch, L, n)
+
+    halves, w_in_tile, lo_in_tile, large = _v2_tables(spec, n, skip, False)
+    if halves:
+        n_full = sum(1 for h in halves if h < _PACK)
+        lo_arg = (jnp.asarray(lo_in_tile) if n_full
+                  else jnp.zeros((1, T), jnp.uint32))
+        xm = _in_tile_call(spec, n, batch, halves, w_in_tile.shape[0],
+                           n_full)(xm, jnp.asarray(w_in_tile), lo_arg)
+
+    for s in range(max(skip, T.bit_length() - 1), log_n):
+        xm = _large_pair_call(spec, n, 1 << s, batch)(
+            xm, jnp.asarray(large[s]))
+
+    return jnp.transpose(xm, (0, 2, 1))

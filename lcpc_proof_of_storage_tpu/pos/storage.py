@@ -123,6 +123,49 @@ def ceildiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+# -- one-u64 host fast path (ft63-class fields) ------------------------------
+# For little-endian one-word fields the canonical repr IS the value's 8 LE
+# bytes, so the host streaming pipeline can run end-to-end on u64 arrays:
+# native Shoup NTT (posnative.cc pos_ntt_rows_u64), native transpose, native
+# strided pwrite — no limb round-trips.  Outputs are canonical residues and
+# therefore bit-identical to the device NTT path.
+
+def _host_u64_spec(spec: FieldSpec) -> bool:
+    if os.environ.get("LCPC_HOST_ENCODE", "auto") == "device":
+        return False
+    from .. import native as _native
+    return (spec.repr_bytes == 8 and spec.endianness == "little"
+            and _native.native() is not None)
+
+
+def limbs_to_u64_np(m: np.ndarray) -> np.ndarray:
+    """(..., 4) 16-bit limbs -> (...,) u64 values."""
+    m64 = m.astype(np.uint64)
+    return (m64[..., 0] | (m64[..., 1] << 16) | (m64[..., 2] << 32)
+            | (m64[..., 3] << 48))
+
+
+def u64_to_limbs_np(v: np.ndarray) -> np.ndarray:
+    """(...,) u64 values -> (..., 4) 16-bit limbs."""
+    out = np.empty(v.shape + (4,), np.uint32)
+    for i in range(4):
+        out[..., i] = ((v >> np.uint64(16 * i))
+                       & np.uint64(0xFFFF)).astype(np.uint32)
+    return out
+
+
+def data_bytes_to_u64_np(data: bytes | np.ndarray, spec: FieldSpec) -> np.ndarray:
+    """Flat data bytes -> (n_elems,) u64 (cap-byte LE chunks, zero-padded)."""
+    arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    cap = spec.data_byte_capacity
+    n = ceildiv(len(arr), cap)
+    flat = np.zeros(n * cap, np.uint8)
+    flat[: len(arr)] = arr
+    padded = np.zeros((n, 8), np.uint8)
+    padded[:, :cap] = flat.reshape(n, cap)
+    return padded.reshape(-1).view("<u8")
+
+
 def data_bytes_to_limbs_np(data: bytes | np.ndarray, spec: FieldSpec) -> np.ndarray:
     """Flat data bytes -> (n_elems, L) limbs (DataField::from_byte_vec)."""
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
@@ -284,6 +327,14 @@ class ColumnDigestAccumulator:
         k, cols, W = reprs.shape
         stream = reprs.transpose(1, 0, 2).reshape(cols, k * W)
         self.acc.update_rows(stream)
+
+    def update_colmajor_u64(self, by_col: np.ndarray) -> None:
+        """by_col: (n_encoded_cols, k) u64 — k encoded rows, column-major
+        (one-u64 little-endian fields only: repr bytes == LE u64 bytes)."""
+        assert by_col.shape[0] == self.n_encoded_cols
+        if self.columns is not None:
+            by_col = np.ascontiguousarray(by_col[self.columns])
+        self.acc.update_rows(by_col.view(np.uint8))
 
     def get_column_digests(self) -> list[bytes]:
         out = self.acc.finalize()
@@ -572,6 +623,9 @@ class EncodedFileWriter:
     byte offset col*row_capacity*W + row*W."""
 
     ROW_BATCH = 256            # rows encoded per device call
+    ROW_BATCH_U64 = 4096       # rows per native one-u64 encode batch: 32 KB
+                               # per column per scatter amortizes TLB misses
+                               # across the file's full column stride
 
     def __init__(self, n_per_row: int, n_cols: int, original_file_size: int,
                  target_path: Path, spec: FieldSpec):
@@ -589,24 +643,62 @@ class EncodedFileWriter:
         self._file = open(target_path, "w+b")
         self._file.truncate(self.row_capacity * n_cols * spec.repr_bytes)
         self._row_buf: list[np.ndarray] = []       # encoded row batches
+        self._mm = None                            # u64 path: mmap view
+        self._io_pool = None                       # u64 path: 1-thread IO
+        self._io_future = None
 
     @property
     def row_bytes(self) -> int:
         return self.n_per_row * self.spec.data_byte_capacity
 
+    def _batch_rows(self) -> int:
+        if not _host_u64_spec(self.spec):
+            return self.ROW_BATCH
+        # cap the encode buffer at ~64 MB for wide matrices
+        return max(256, min(self.ROW_BATCH_U64, (1 << 23) // self.n_cols))
+
+    def _mapped(self):
+        """mmap view of the encoded file (u64 fast path).  fallocate first:
+        scattered stores into an unallocated sparse ext4 file stall on
+        per-block allocation; into an allocated mapping they are page-cache
+        memcpys."""
+        flen = self.row_capacity * self.n_cols * self.spec.repr_bytes
+        if self._mm is None or len(self._mm) != flen:
+            import mmap
+            if self._mm is not None:
+                self._mm.close()
+            self._file.flush()
+            from .. import native as _native
+            lib = _native.native()
+            memfs = bool(lib and lib.pos_fd_is_memfs(self._file.fileno()))
+            if not memfs:
+                try:
+                    os.posix_fallocate(self._file.fileno(), 0, flen)
+                except OSError:
+                    pass
+            self._mm = mmap.mmap(self._file.fileno(), flen)
+            try:
+                self._mm.madvise(mmap.MADV_HUGEPAGE)
+            except (AttributeError, OSError):
+                pass
+        return self._mm
+
     def push_bytes(self, data: bytes) -> None:
         self.bytes_received += len(data)
         self._pending += data
+        batch = self._batch_rows()
         full_rows = len(self._pending) // self.row_bytes
-        while full_rows > 0:
-            take = min(full_rows, self.ROW_BATCH)
-            self._encode_and_write(take, partial=False)
-            full_rows -= take
+        while full_rows >= batch:
+            self._encode_and_write(batch, partial=False)
+            full_rows -= batch
 
     def _encode_and_write(self, k_rows: int, partial: bool) -> None:
         nbytes = k_rows * self.row_bytes if not partial else len(self._pending)
         chunk = bytes(self._pending[:nbytes])
         del self._pending[:nbytes]
+        if _host_u64_spec(self.spec):
+            self._encode_and_write_u64(chunk)
+            return
         limbs = data_bytes_to_limbs_np(chunk, self.spec)       # (n_elems, L)
         n_elems = limbs.shape[0]
         rows = ceildiv(n_elems, self.n_per_row)
@@ -617,6 +709,46 @@ class EncodedFileWriter:
         encoded = np.asarray(_encode_batch(self.spec, self.n_cols)(mat))[:rows]
         self.accumulator.update_batch(encoded)
         self._write_rows(encoded)
+
+    def _io_wait(self) -> None:
+        if self._io_future is not None:
+            fut, self._io_future = self._io_future, None
+            fut.result()
+
+    def _encode_and_write_u64(self, chunk: bytes) -> None:
+        """One-u64-field fast path: bytes -> u64 -> native NTT -> fused
+        native scatter+hash into the fallocate'd mmap, with zero limb
+        round-trips (the repr IS the LE u64).  All phases use OpenMP across
+        the host cores; running them sequentially measured faster than
+        overlapping encode with IO (two concurrent OpenMP teams thrash a
+        small core count).  File bytes and digests are bit-identical to the
+        generic path."""
+        from .. import native as _native
+        cap = self.spec.data_byte_capacity
+        rows = ceildiv(ceildiv(len(chunk), cap), self.n_per_row)
+        enc = np.empty((rows, self.n_cols), np.uint64)
+        ok = _native.ntt_rows_from_bytes_u64(
+            chunk, cap, rows, self.n_per_row, enc, self.n_cols,
+            self.spec.modulus, self.spec.nth_root_of_unity(self.n_cols))
+        assert ok
+        self._io_wait()
+        if self.rows_written + rows > self.row_capacity:
+            self.set_new_capacity(2 * (self.rows_written + rows))
+        mm = self._mapped()
+        import ctypes as _ct
+        anchor = _ct.c_char.from_buffer(mm)
+        base = _ct.addressof(anchor) + self.rows_written * 8
+        nat_acc = (self.accumulator.acc._native
+                   if self.accumulator.columns is None else None)
+        if nat_acc is not None:
+            _native.scatter_hash_u64(enc, base, self.row_capacity,
+                                     nat_acc._h)
+        else:
+            by_col = np.empty((self.n_cols, rows), np.uint64)  # hash staging
+            _native.scatter_u64(enc, base, self.row_capacity, contig=by_col)
+            self.accumulator.update_colmajor_u64(by_col)
+        del anchor                      # release the mmap buffer export
+        self.rows_written += rows
 
     def _write_rows(self, encoded: np.ndarray) -> None:
         """Column-major write of (k, n_cols, L) encoded rows."""
@@ -634,6 +766,10 @@ class EncodedFileWriter:
 
     def set_new_capacity(self, new_capacity: int) -> None:
         assert new_capacity >= self.rows_written
+        self._io_wait()
+        if self._mm is not None:
+            self._mm.close()
+            self._mm = None
         W = self.spec.repr_bytes
         old_len = self.row_capacity * W
         new_len = new_capacity * W
@@ -647,11 +783,12 @@ class EncodedFileWriter:
 
     def _drain(self) -> None:
         while self._pending:
-            k = min(len(self._pending) // self.row_bytes, self.ROW_BATCH)
+            k = min(len(self._pending) // self.row_bytes, self._batch_rows())
             if k > 0:
                 self._encode_and_write(k, partial=False)
             else:
                 self._encode_and_write(1, partial=True)
+        self._io_wait()   # hash state must be complete before finalize
 
     def metadata(self, ulid: str = "") -> EncodedFileMetadata:
         return EncodedFileMetadata(
@@ -659,18 +796,24 @@ class EncodedFileWriter:
             encoded_size=self.n_cols, rows_written=self.rows_written,
             row_capacity=self.row_capacity, bytes_of_data=self.bytes_received)
 
+    def _close_file(self) -> None:
+        self._io_wait()
+        if self._mm is not None:
+            self._mm.close()
+            self._mm = None
+        self._file.flush()
+        self._file.close()
+
     def finalize_to_merkle_tree(self) -> tuple[EncodedFileMetadata, MerkleTree]:
         self._drain()
         tree = self.accumulator.finalize_to_merkle_tree()
-        self._file.flush()
-        self._file.close()
+        self._close_file()
         return self.metadata(), tree
 
     def finalize_to_column_digests(self) -> tuple[EncodedFileMetadata, list[bytes]]:
         self._drain()
         digests = self.accumulator.get_column_digests()
-        self._file.flush()
-        self._file.close()
+        self._close_file()
         return self.metadata(), digests
 
     @classmethod
@@ -700,11 +843,44 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _encode_batch(spec: FieldSpec, n_cols: int):
+    """Row-batch Ligero encode (k, n_per_row, L) -> (k, n_cols, L).
+
+    One-u64 fields take the native host NTT (orders of magnitude faster
+    than the XLA limb NTT on a CPU backend and readback-free on a device
+    backend); everything else jits the device pipeline."""
+    if _host_u64_spec(spec):
+        from .. import native as _native
+        w = spec.nth_root_of_unity(n_cols)
+
+        def run(mat):
+            m = np.asarray(mat)
+            vals = np.ascontiguousarray(limbs_to_u64_np(m))
+            out = np.empty((m.shape[0], n_cols), np.uint64)
+            ok = _native.ntt_rows_u64(vals, out, n_cols, spec.modulus, w)
+            assert ok
+            return u64_to_limbs_np(out)
+
+        return run
     return jax.jit(lambda mat: encode_rows(mat, spec, n_cols))
 
 
 @functools.lru_cache(maxsize=None)
 def _decode_batch(spec: FieldSpec):
+    if _host_u64_spec(spec):
+        from .. import native as _native
+
+        def run(mat):
+            m = np.asarray(mat)
+            n = m.shape[1]
+            vals = np.ascontiguousarray(limbs_to_u64_np(m))
+            out = np.empty_like(vals)
+            w_inv = spec.inv(spec.nth_root_of_unity(n))
+            ok = _native.intt_rows_u64(vals, out, n, spec.modulus, w_inv,
+                                       spec.inv(n % spec.modulus))
+            assert ok
+            return u64_to_limbs_np(out)
+
+        return run
     return jax.jit(lambda mat: intt(mat, spec))
 
 

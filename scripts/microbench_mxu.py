@@ -1,0 +1,84 @@
+"""Is an int8 digit-matmul viable on this chip?  Times s8 x s8 -> s32
+dot_general at the shapes the matmul NTT needs, plus bf16 for reference.
+
+Shapes: M = row-groups (batch*n/R), K = R*Din digit contraction,
+N = R*Dout output digits; R = 64, Din = 37 (radix-2^7 digits of 256-bit),
+Dout = 73.
+"""
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lcpc_tpu_xla_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(fn, *args, reps=3):
+    g = jax.jit(fn)
+    t = time.time()
+    r = g(*args)
+    _ = int(jnp.sum(r, dtype=jnp.int32)) if r.dtype == jnp.int32 else \
+        float(jnp.sum(r, dtype=jnp.float32))
+    compile_s = time.time() - t
+    best = 1e9
+    for _ in range(reps):
+        t = time.time()
+        r = g(*args)
+        _ = int(jnp.sum(r, dtype=jnp.int32)) if r.dtype == jnp.int32 else \
+            float(jnp.sum(r, dtype=jnp.float32))
+        best = min(best, time.time() - t)
+    return best, compile_s
+
+
+def main():
+    _ = int(jnp.arange(4).sum())
+    print("# warmed up", flush=True)
+
+    rng = np.random.default_rng(0)
+    R, Din, Dout = 64, 37, 73
+    M = 1 << 17                      # 131072 row-groups per call
+    K, N = R * Din, R * Dout
+    A = jnp.asarray(rng.integers(0, 128, (M, K), dtype=np.int8))
+    B = jnp.asarray(rng.integers(0, 128, (K, N), dtype=np.int8))
+
+    def mm_s8(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    t, c = bench(mm_s8, A, B)
+    macs = M * K * N
+    print(f"s8xs8->s32 {M}x{K}x{N}: {t*1e3:.1f} ms = "
+          f"{macs/t/1e12:.1f} Tmac/s (compile {c:.0f}s)", flush=True)
+
+    Ab = A.astype(jnp.bfloat16)
+    Bb = B.astype(jnp.bfloat16)
+
+    def mm_bf16(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    t, c = bench(mm_bf16, Ab, Bb)
+    print(f"bf16->f32  {M}x{K}x{N}: {t*1e3:.1f} ms = "
+          f"{macs/t/1e12:.1f} Tmac/s (compile {c:.0f}s)", flush=True)
+
+    # int8 correctness vs numpy at small shape
+    a = rng.integers(0, 128, (128, K), dtype=np.int8)
+    b = rng.integers(0, 128, (K, 256), dtype=np.int8)
+    got = np.asarray(mm_s8(jnp.asarray(a), jnp.asarray(b)))
+    want = a.astype(np.int64) @ b.astype(np.int64)
+    print("s8 exactness:", np.array_equal(got, want.astype(np.int32)),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

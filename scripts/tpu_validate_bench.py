@@ -48,6 +48,25 @@ def main():
     if not ok:
         sys.exit("MISMATCH ft63")
 
+    # v2 kernels (constant-multiply tables + pair grouping), incl. pruning
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas2 import ntt_pallas2
+    t = time.time()
+    got2 = np.asarray(jax.jit(lambda a: ntt_pallas2(a, spec))(X))
+    ok2 = np.array_equal(got2, ref)
+    print(f"# ft63 n=8192 pallas v2: {time.time()-t:.0f}s match={ok2}",
+          flush=True)
+    if not ok2:
+        sys.exit("MISMATCH ft63 v2")
+    Xp = jnp.asarray(np.asarray(X).copy())
+    Xp = Xp.at[:, n // 4 :, :].set(0)
+    refp = np.asarray(jax.jit(lambda a: ntt(a, spec))(Xp))
+    gotp = np.asarray(jax.jit(
+        lambda a: ntt_pallas2(a, spec, n_nonzero=n // 4))(Xp))
+    okp = np.array_equal(gotp, refp)
+    print(f"# ft63 v2 pruned match={okp}", flush=True)
+    if not okp:
+        sys.exit("MISMATCH ft63 v2 pruned")
+
     # pallas blake3 hash == XLA hash, multi-chunk columns
     from lcpc_proof_of_storage_tpu.ops.blake3_jax import hash_columns
     from lcpc_proof_of_storage_tpu.ops.blake3_pallas import hash_columns_pallas
@@ -68,18 +87,22 @@ def main():
     # replicate bench dims: n_per_row = n_cols/4, n_rows = N / n_per_row
     x = jnp.asarray(np.random.default_rng(0).integers(
         0, 1 << 16, (batch, n_cols, spec.num_limbs16), dtype=np.uint32))
-    g = jax.jit(lambda a: ntt_pallas(a, spec).sum(dtype=jnp.uint32))
-    t = time.time()
-    _ = int(g(x))
-    print(f"# ft255 ntt b{batch} n{n_cols} compile+run {time.time()-t:.0f}s", flush=True)
-    best = 1e9
-    for _i in range(3):
+    for name, fn in (("v1", lambda a: ntt_pallas(a, spec)),
+                     ("v2", lambda a: ntt_pallas2(a, spec))):
+        g = jax.jit(lambda a, fn=fn: fn(a).sum(dtype=jnp.uint32))
         t = time.time()
         _ = int(g(x))
-        best = min(best, time.time() - t)
-    total = batch * n_cols
-    print(f"ft255 pallas ntt b{batch}xn{n_cols}: {best*1000:.0f} ms "
-          f"({total/best/1e6:.1f}M enc-elems/s)", flush=True)
+        print(f"# ft255 {name} ntt b{batch} n{n_cols} compile+run "
+              f"{time.time()-t:.0f}s", flush=True)
+        best = 1e9
+        for _i in range(3):
+            t = time.time()
+            _ = int(g(x))
+            best = min(best, time.time() - t)
+        total = batch * n_cols
+        print(f"ft255 pallas {name} ntt b{batch}xn{n_cols}: "
+              f"{best*1000:.0f} ms ({total/best/1e6:.1f}M enc-elems/s)",
+              flush=True)
 
 
 if __name__ == "__main__":
