@@ -57,25 +57,40 @@ def main() -> None:
     # NOTE: on the axon TPU platform block_until_ready is effectively async;
     # force real execution by reducing to a scalar on device and reading it
     # back (first readback of a session takes ~40-90s: tunnel claim).
-    pipeline = _enc_jit(enc, "bench_pipeline", lambda: (
-        lambda cm, ops: ((lambda comm: hash_columns(comm, enc.spec)
-                          .sum(dtype=jnp.uint32))
-                         (_encode_matrix(cm, enc, n_cols, ops)))))
-    operands = enc.device_operands()
+    # Sizes past ~2^24 exceed HBM for the one-shot encoded matrix (2^25
+    # needs 24 GB); they run the out-of-core path (core/streamed.py),
+    # root Merkle build included.
+    streamed = log2n >= int(os.environ.get("LCPC_BENCH_STREAM_LOG2", "25"))
+    if streamed:
+        from lcpc_proof_of_storage_tpu.core.streamed import commit_streamed
+
+        def run():
+            c = commit_streamed(coeff_mat.reshape(n_rows * n_per_row, L),
+                                enc, keep_comm=False)
+            return int(c.hashes[-1][0])
+    else:
+        pipeline = _enc_jit(enc, "bench_pipeline", lambda: (
+            lambda cm, ops: ((lambda comm: hash_columns(comm, enc.spec)
+                              .sum(dtype=jnp.uint32))
+                             (_encode_matrix(cm, enc, n_cols, ops)))))
+        operands = enc.device_operands()
+
+        def run():
+            return int(pipeline(coeff_mat, operands))
 
     t0 = time.time()
     _ = int(jnp.arange(4).sum())
     print(f"# session warmup readback: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    _ = int(pipeline(coeff_mat, operands))
+    _ = run()
     compile_time = time.time() - t0
     print(f"# first call (compile+run): {compile_time:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(iters):
         t0 = time.time()
-        _ = int(pipeline(coeff_mat, operands))
+        _ = run()
         times.append(time.time() - t0)
     best = min(times)
     elems_per_s = n / best

@@ -133,10 +133,27 @@ class LigeroEncoding(LcEncoding):
             # rows carry coefficients only in the first n_per_row slots
             if os.environ.get("LCPC_NTT_KERNEL", "v2") != "v1":
                 from ..ops.ntt_pallas2 import ntt_pallas2
-                return ntt_pallas2(rows, self.spec, n_nonzero=self.n_per_row)
+                return ntt_pallas2(rows, self.spec, n_nonzero=self.n_per_row,
+                                   tables=operands or None)
             from ..ops.ntt_pallas import ntt_pallas
             return ntt_pallas(rows, self.spec, n_nonzero=self.n_per_row)
         return ntt(rows, self.spec)
+
+    def device_operands(self):
+        """v2 NTT twiddle tables as jit arguments (hundreds of MB of large-
+        stage constants at n_cols >= 2^18 otherwise ride in the HLO and
+        overflow compile payloads).  Cached per encoding."""
+        import os
+        if (self.mesh is not None or not _use_pallas(self.n_cols)
+                or os.environ.get("LCPC_NTT_KERNEL", "v2") == "v1"):
+            return ()
+        tabs = getattr(self, "_v2_dev_tables", None)
+        if tabs is None:
+            from ..ops.ntt_pallas2 import v2_device_tables
+            tabs = v2_device_tables(self.spec, self.n_cols,
+                                    n_nonzero=self.n_per_row)
+            self._v2_dev_tables = tabs
+        return tabs
 
     def encode_wide(self, rows: jnp.ndarray) -> jnp.ndarray:
         """Cross-chip four-step NTT over the mesh (column axis sharded) —

@@ -228,6 +228,9 @@ def commit(coeffs, enc: LcEncoding) -> LcCommit:
 
 
 def check_comm(comm: LcCommit, enc: LcEncoding) -> None:
+    if comm.comm is None:
+        raise ProverError("commitment has no encoded matrix "
+                          "(commit_streamed(keep_comm=False) cannot prove)")
     ok = (comm.comm.shape[:2] == (comm.n_rows, comm.n_cols)
           and comm.coeffs.shape[:2] == (comm.n_rows, comm.n_per_row)
           and comm.hashes.shape[0] == 2 * next_power_of_two(comm.n_cols) - 1
@@ -301,7 +304,8 @@ def _column_checks_fn(spec: FieldSpec):
     """One device program for the verifier's per-column math: the degree-test
     and eval dot products AND the leaf digests H(0 || column) — everything
     that scales with n_col_opens x n_rows runs batched on device, one
-    round trip (lcpc-2d/src/lib.rs:953-974, 985-1030)."""
+    round trip (lcpc-2d/src/lib.rs:953-974, 985-1030).  Used by the wide
+    (mesh) verifier; single-chip verify uses the fused program below."""
     lf = limb_field(spec)
 
     def f(cols, rand, outer):
@@ -311,6 +315,34 @@ def _column_checks_fn(spec: FieldSpec):
         return d_rand, d_eval, leaves
 
     return jax.jit(f)
+
+
+def _verify_checks_fused(enc: LcEncoding):
+    """ONE device program for the whole verifier compute: re-encode the
+    degree-test + eval rows, gather the opened column positions, compare the
+    per-column dot products against the re-encoded rows ON DEVICE, and hash
+    the column leaves.  The readback is k booleans + k digests instead of the
+    (ndt+1, n_cols, L) re-encoded matrix (~4 MB at 2^20) — one round trip,
+    latency-floor bound (lcpc-2d/src/lib.rs:862-982)."""
+    spec = enc.spec
+    lf = limb_field(spec)
+    ndt = enc.get_n_degree_tests()
+
+    def make():
+        def f(rows_mat, ops, rand_mats, outer_mat, cols_mat, col_idx):
+            fft = enc.encode(rows_mat, ops)                  # (ndt+1, n_cols, L)
+            sel = jnp.take(fft, col_idx, axis=1)             # (ndt+1, k, L)
+            d_rand = lf.dot(cols_mat[None, :, :, :],
+                            rand_mats[:, None, :, :], axis=2)  # (ndt, k, L)
+            d_eval = lf.dot(cols_mat, outer_mat[None, :, :], axis=1)  # (k, L)
+            rand_ok = jnp.all(d_rand == sel[:ndt], axis=-1)  # (ndt, k)
+            eval_ok = jnp.all(d_eval == sel[ndt], axis=-1)   # (k,)
+            leaves = hash_columns(jnp.transpose(cols_mat, (1, 0, 2)), spec)
+            return rand_ok, eval_ok, leaves
+
+        return f
+
+    return _enc_jit(enc, "verify_checks_fused", make)
 
 
 def _fold_path(leaf: bytes, col_num: int, path: list[bytes]) -> bytes:
@@ -391,8 +423,12 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
 
     cols_to_open = _columns_to_open(tr, comm.n_cols, enc.get_n_col_opens())
     # batched column extraction on device (one readback), limbs kept as-is,
-    # paths folded from the host-resident Merkle array
-    cols_arr = np.asarray(comm.comm[:, jnp.asarray(cols_to_open), :])  # (rows, k, L)
+    # paths folded from the host-resident Merkle array.  A streamed commit
+    # keeps comm in host RAM (np.ndarray) — gather there instead.
+    if isinstance(comm.comm, np.ndarray):
+        cols_arr = comm.comm[:, np.asarray(cols_to_open), :]
+    else:
+        cols_arr = np.asarray(comm.comm[:, jnp.asarray(cols_to_open), :])  # (rows, k, L)
     columns = [
         LcColumn(col_limbs=cols_arr[:, i, :], spec=spec,
                  path=merkle_path(comm.hashes, comm.n_cols, c))
@@ -453,33 +489,46 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     _append_coeffs(tr, LABEL_PE, proof.p_eval, spec)
     cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
 
-    # every re-encode (degree-test rows + eval row) in one device call —
-    # the encodes never touch the transcript, so hoisting them below the
-    # challenge squeezes leaves the Fiat-Shamir evolution unchanged
-    all_fft = _encode_rows_limbs(proof.p_random_vec + [proof.p_eval], enc)
-    p_random_fft = [all_fft[i] for i in range(enc.get_n_degree_tests())]
-    p_eval_fft = all_fft[-1]
-
-    # all per-column math (dot products + leaf digests) batched on device:
-    # one host->device conversion, one program, one readback
     cols_mat = jnp.asarray(
         np.stack([c.col_limbs(spec) for c in proof.columns]))       # (k, rows, L)
     rand_mats = jnp.stack([lf.array(t) for t in rand_tensor_vec])   # (ndt, rows, L)
     outer_mat = lf.array(outer_tensor)                              # (rows, L)
-
-    d_rand, d_eval, leaves = _column_checks_fn(spec)(cols_mat, rand_mats,
-                                                     outer_mat)
-    d_rand = np.asarray(d_rand)
-    d_eval = np.asarray(d_eval)
-    leaf_bytes = digests_to_bytes(np.asarray(leaves))
-
     n_degree = enc.get_n_degree_tests()
+
+    if enc.mesh is not None:
+        # wide verifier: the cross-chip encode runs its own shard_map program,
+        # so keep the two-call shape (encode readback + column checks)
+        all_fft = _encode_rows_limbs(proof.p_random_vec + [proof.p_eval], enc)
+        p_random_fft = [all_fft[i] for i in range(n_degree)]
+        p_eval_fft = all_fft[-1]
+        d_rand, d_eval, leaves = _column_checks_fn(spec)(cols_mat, rand_mats,
+                                                         outer_mat)
+        d_rand = np.asarray(d_rand)
+        d_eval = np.asarray(d_eval)
+        rand_ok_arr = np.array([
+            [np.array_equal(d_rand[i, k], p_random_fft[i][c])
+             for k, c in enumerate(cols_to_open)] for i in range(n_degree)])
+        eval_ok_arr = np.array([np.array_equal(d_eval[k], p_eval_fft[c])
+                                for k, c in enumerate(cols_to_open)])
+    else:
+        # single chip: re-encode (degree-test rows + eval row), column dots,
+        # on-device equality, and leaf digests fused in ONE device call —
+        # the encodes never touch the transcript, so hoisting them below the
+        # challenge squeezes leaves the Fiat-Shamir evolution unchanged
+        lfL = lf.L
+        rows_mat = np.zeros((n_degree + 1, enc.n_cols, lfL), np.uint32)
+        for i, vals in enumerate(proof.p_random_vec + [proof.p_eval]):
+            rows_mat[i, : len(vals), :] = ints_to_limbs(vals, spec)
+        rand_ok_dev, eval_ok_dev, leaves = _verify_checks_fused(enc)(
+            jnp.asarray(rows_mat), enc.device_operands(), rand_mats,
+            outer_mat, cols_mat, jnp.asarray(cols_to_open, jnp.int32))
+        rand_ok_arr = np.asarray(rand_ok_dev)
+        eval_ok_arr = np.asarray(eval_ok_dev)
+
+    leaf_bytes = digests_to_bytes(np.asarray(leaves))
     for k, (col_num, column) in enumerate(zip(cols_to_open, proof.columns)):
-        rand_ok = all(
-            np.array_equal(d_rand[i, k], p_random_fft[i][col_num])
-            for i in range(n_degree)
-        )
-        eval_ok = np.array_equal(d_eval[k], p_eval_fft[col_num])
+        rand_ok = all(rand_ok_arr[i][k] for i in range(n_degree))
+        eval_ok = bool(eval_ok_arr[k])
         path_ok = _fold_path(leaf_bytes[k], col_num, column.path) == root
         if not rand_ok:
             raise VerifierError("ColumnDegree", f"column {col_num}")

@@ -1,0 +1,132 @@
+"""Out-of-core commit: encode + hash in row batches so the encoded matrix
+never materializes on device.
+
+At 2^26 ft255 the encoded matrix is (1024, 262144, 16) uint32 = 17 GB —
+past one chip's HBM — but the COEFFICIENT matrix is only 4.3 GB.  Commit
+needs the encoded matrix only to (a) hash its columns and (b) serve opened
+columns to prove().  So: keep coefficients device-resident, encode row
+batches through the same fused NTT pipeline, absorb each batch into
+per-column incremental Blake3 chunk CVs (ops/blake3_jax.chunk_cvs_words),
+and optionally stream the encoded batches to host RAM for later proving.
+
+This covers the reference's large-n commits (doc/benchmark-results/
+20210807_64c_255bit_ligero_dfl.txt:20-24 goes to 2^29 on a 256 GB host) on
+a single 16 GB chip, and is the device-side analogue of the PoS streaming
+writer (pos/storage.py EncodedFileWriter).
+
+Bit-compat: column hash = blake3(32 zero bytes || column reprs) with the
+chunk tree of the whole message — chunk CVs computed per batch are CVs of
+the same chunks the one-shot hash would compute (batch boundaries align to
+chunk boundaries), so roots are bit-identical to commit() (tests/
+test_streamed_commit.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import FieldSpec
+from ..ops.blake3_jax import (
+    chunk_cvs_words, limbs_to_repr_words, merge_chunk_cvs,
+)
+from .commit import LcCommit, _coeffs_to_matrix, _enc_jit, merkle_tree_device
+from .encoding import LcEncoding
+
+
+def _row_batches(n_rows: int, repr_bytes: int, target_rows: int) -> list[tuple[int, int]]:
+    """Split rows into batches whose byte spans (incl. the 32-byte zero
+    prefix before row 0) end on Blake3 chunk boundaries — except the final
+    batch, which may end mid-chunk (partial last chunk)."""
+    W = repr_bytes
+    step = 1024 // int(np.gcd(1024, W))          # rows per whole-chunk stride
+    r0 = next(r for r in range(1, step + 1) if (32 + r * W) % 1024 == 0)
+    bounds = [0]
+    pos = min(r0 + ((max(target_rows - r0, 0)) // step) * step, n_rows)
+    if pos <= 0:
+        pos = min(r0, n_rows)
+    while pos < n_rows:
+        bounds.append(pos)
+        pos = min(pos + max(step, (target_rows // step) * step), n_rows)
+    bounds.append(n_rows)
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int = 128,
+                    keep_comm: bool = True) -> LcCommit:
+    """commit() with row-batched encode + incremental column hashing.
+
+    keep_comm=True streams encoded batches back to host RAM (np.ndarray
+    comm — prove() accepts it); False discards them (root/verify only;
+    re-encode on demand to prove)."""
+    coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
+    spec = enc.spec
+    W = spec.repr_bytes
+    msg_len = 32 + n_rows * W
+    total_chunks = (msg_len + 1023) // 1024
+    if total_chunks < 2:
+        # single-chunk columns: nothing to stream (tiny matrix) — one-shot
+        from .commit import commit
+        c = commit(coeffs, enc)
+        if keep_comm:
+            c.comm = np.asarray(c.comm)
+        else:
+            c.comm = None
+        return c
+
+    batches = _row_batches(n_rows, W, target_batch_rows)
+    ops = enc.device_operands()
+
+    def make_batch_fn(rows_b: int, first: bool, k: int, tail_len: int):
+        nwords_pad = k * 256 - ((32 if first else 0) + rows_b * W) // 4
+
+        def f(cm_rows, counters, operands):
+            padded = jnp.zeros((rows_b, n_cols, cm_rows.shape[-1]), jnp.uint32)
+            padded = padded.at[:, :n_per_row, :].set(cm_rows)
+            comm_b = enc.encode(padded, operands)
+            words = limbs_to_repr_words(comm_b, spec)        # (rb, nc, W/4)
+            words = jnp.transpose(words, (1, 0, 2)).reshape(n_cols, -1)
+            if first:
+                words = jnp.concatenate(
+                    [jnp.zeros((n_cols, 8), jnp.uint32), words], axis=1)
+            if nwords_pad:
+                words = jnp.pad(words, ((0, 0), (0, nwords_pad)))
+            cvs = chunk_cvs_words(words, counters, tail_len)
+            return comm_b, cvs
+        return f
+
+    cv_parts = []
+    comm_parts = [] if keep_comm else None
+    chunk0 = 0
+    for r_start, r_end in batches:
+        rows_b = r_end - r_start
+        first = r_start == 0
+        span = (32 if first else 0) + rows_b * W
+        k = (span + 1023) // 1024                   # chunks this batch covers
+        last = r_end == n_rows
+        tail_len = (1024 if not last or span % 1024 == 0 else span % 1024)
+        assert span % 1024 == 0 or last, "interior batch misaligned"
+        # jit key excludes chunk0: interior batches share one compilation
+        # (counters ride as a traced argument)
+        fn = _enc_jit(enc, f"streamed_batch_{rows_b}_{first}_{tail_len}",
+                      lambda: make_batch_fn(rows_b, first, k, tail_len))
+        counters = jnp.arange(chunk0, chunk0 + k, dtype=jnp.uint32)
+        comm_b, cvs = fn(coeff_mat[r_start:r_end], counters, ops)
+        cv_parts.append(cvs)
+        if keep_comm:
+            comm_parts.append(np.asarray(comm_b))
+        else:
+            del comm_b
+        chunk0 += k
+    assert chunk0 == total_chunks
+
+    finish = _enc_jit(enc, f"streamed_finish_{total_chunks}", lambda: (
+        lambda parts: merkle_tree_device(
+            merge_chunk_cvs(jnp.concatenate(parts, axis=1)), n_cols)))
+    hashes = np.asarray(finish(cv_parts))
+
+    comm = np.concatenate(comm_parts, axis=0) if keep_comm else None
+    return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
+                    n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)

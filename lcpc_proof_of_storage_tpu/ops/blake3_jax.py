@@ -177,10 +177,15 @@ def blake3_batch_words(msg_words: jnp.ndarray, msg_len_bytes: int) -> jnp.ndarra
 
     if nchunks == 1:
         return cvs[:, 0, :]
+    return merge_chunk_cvs(cvs)
 
-    # pairwise-with-carry level merge == blake3 left-leaning tree
-    k = nchunks
-    nodes = cvs                                     # (batch, k, 8)
+
+def merge_chunk_cvs(cvs: jnp.ndarray) -> jnp.ndarray:
+    """(batch, k >= 2, 8) chunk CVs (ALL chunks of each message, in order)
+    -> (batch, 8) digests.  Pairwise-with-carry level merge == blake3's
+    left-leaning tree (the oracle blake3_batch_words shares this code)."""
+    batch, k, _ = cvs.shape
+    nodes = cvs
     while k > 1:
         pairs = k // 2
         blocks = nodes[:, : 2 * pairs, :].reshape(batch, pairs, 16)
@@ -193,8 +198,70 @@ def blake3_batch_words(msg_words: jnp.ndarray, msg_len_bytes: int) -> jnp.ndarra
             parents = jnp.concatenate([parents, nodes[:, -1:, :]], axis=1)
         nodes = jax.lax.optimization_barrier(parents)
         k = parents.shape[1]
-
     return nodes[:, 0, :]
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_tables_slice(k: int, tail_len: int) -> tuple:
+    """Per-(block, chunk) tables for k consecutive whole chunks of a multi-
+    chunk message.  Chunk flags (CHUNK_START/CHUNK_END) are per-chunk, not
+    per-message, so the tables depend only on k and tail_len — the byte
+    length of the slice's final chunk (1024 when full; shorter only when it
+    is the partial LAST chunk of the message).  The chunk counter is a
+    traced argument to chunk_cvs_words, so interior row batches of a
+    streamed commit share one compilation."""
+    assert 1 <= tail_len <= b3.CHUNK_LEN
+    lens = np.zeros((16, k), np.uint32)
+    flags = np.zeros((16, k), np.uint32)
+    active = np.zeros((16, k), np.uint32)
+    for j in range(k):
+        clen = tail_len if j == k - 1 else b3.CHUNK_LEN
+        nblocks = max(1, (clen + b3.BLOCK_LEN - 1) // b3.BLOCK_LEN)
+        for bidx in range(nblocks):
+            blen = min(b3.BLOCK_LEN, clen - bidx * b3.BLOCK_LEN)
+            f = 0
+            if bidx == 0:
+                f |= CHUNK_START
+            if bidx == nblocks - 1:
+                f |= CHUNK_END
+            lens[bidx, j] = blen
+            flags[bidx, j] = f
+            active[bidx, j] = 1
+    return lens, flags, active
+
+
+def chunk_cvs_words(msg_words: jnp.ndarray, counters: jnp.ndarray,
+                    tail_len: int = b3.CHUNK_LEN) -> jnp.ndarray:
+    """CVs of k consecutive whole chunks of equal-length multi-chunk
+    messages.
+
+    msg_words: (batch, k*256) uint32 — those chunks' words, zero-padded
+    past the message end when the slice's last chunk is the message's
+    partial final chunk (then pass its byte length as tail_len).
+    counters: (k,) uint32 global chunk indices — may be traced.  The
+    streamed commit hashes columns incrementally with this: each row batch
+    contributes whole chunks, the CVs accumulate, merge_chunk_cvs at the
+    end.  Returns (batch, k, 8)."""
+    batch, nw = msg_words.shape
+    k = nw // (b3.CHUNK_LEN // 4)
+    assert nw == k * (b3.CHUNK_LEN // 4)
+    chunks = msg_words.reshape(batch, k, 16, 16).transpose(2, 0, 1, 3)
+    lens, flags, active = _chunk_tables_slice(k, tail_len)
+    counters = jnp.asarray(counters, U32)
+
+    def block_step(cv, xs):
+        block, blen, bflags, act = xs
+        new = compress8(cv, block, counters, np.uint32(0), blen, bflags)
+        cv = jnp.where((act > 0)[None, :, None], new, cv)
+        return cv, None
+
+    from .vma import match_vma
+    cv0 = match_vma(jnp.broadcast_to(jnp.asarray(IV), (batch, k, 8)),
+                    msg_words)
+    cvs, _ = jax.lax.scan(
+        block_step, cv0,
+        (chunks, jnp.asarray(lens), jnp.asarray(flags), jnp.asarray(active)))
+    return cvs
 
 
 # --------------------------------------------------------------------------

@@ -352,21 +352,46 @@ def _large_pair_call(spec: FieldSpec, n: int, half: int, batch: int):
 # entry point
 # ---------------------------------------------------------------------------
 
+def _skip_for(n: int, n_nonzero: int | None) -> int:
+    if n_nonzero is not None and 0 < n_nonzero < n:
+        np2 = 1 if n_nonzero <= 1 else 1 << (n_nonzero - 1).bit_length()
+        return (n // np2).bit_length() - 1
+    return 0
+
+
+def v2_device_tables(spec: FieldSpec, n: int,
+                     n_nonzero: int | None = None) -> tuple:
+    """Twiddle tables for ntt_pallas2 as a device pytree: (w_in_tile,
+    lo_in_tile, (large_s, ...)).  Call OUTSIDE any trace and thread through
+    jit as arguments — at n >= 2^18 the large-stage tables run to hundreds
+    of MB and would otherwise be baked into the HLO as literals (the
+    compile-payload pathology core/commit.py:217-219 documents)."""
+    import jax
+    T = min(_TILE2, n)
+    skip = _skip_for(n, n_nonzero)
+    halves, w_in_tile, lo_in_tile, large = _v2_tables(spec, n, skip, False)
+    n_full = sum(1 for h in halves if h < _PACK)
+    lo_np = lo_in_tile if n_full else np.zeros((1, T), np.uint32)
+    larges = tuple(jax.device_put(large[s])
+                   for s in sorted(large))
+    return (jax.device_put(w_in_tile), jax.device_put(lo_np), larges)
+
+
 def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
-                n_nonzero: int | None = None) -> jnp.ndarray:
+                n_nonzero: int | None = None,
+                tables: tuple | None = None) -> jnp.ndarray:
     """Forward NTT along axis -2; bit-identical to ops.ntt.ntt.
 
     x: (batch, n, L).  n_nonzero: zero-padding promise (stage pruning, same
-    semantics as ops/ntt_pallas.py)."""
+    semantics as ops/ntt_pallas.py).  tables: optional pytree from
+    v2_device_tables (same spec/n/n_nonzero) so the twiddles ride as jit
+    arguments; None builds them inline (fine eagerly or for small n)."""
     batch, n, L = x.shape
     assert n & (n - 1) == 0 and n >= 256, "pallas path needs pow2 n >= 256"
     log_n = n.bit_length() - 1
     T = min(_TILE2, n)
 
-    skip = 0
-    if n_nonzero is not None and 0 < n_nonzero < n:
-        np2 = 1 if n_nonzero <= 1 else 1 << (n_nonzero - 1).bit_length()
-        skip = (n // np2).bit_length() - 1
+    skip = _skip_for(n, n_nonzero)
     rev = _bit_reverse_perm(n)
     if skip:
         idx = rev[np.arange(n) & ~((1 << skip) - 1)]
@@ -376,15 +401,20 @@ def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
     xm = jnp.transpose(x, (0, 2, 1))                       # (batch, L, n)
 
     halves, w_in_tile, lo_in_tile, large = _v2_tables(spec, n, skip, False)
-    if halves:
-        n_full = sum(1 for h in halves if h < _PACK)
+    n_full = sum(1 for h in halves if h < _PACK)
+    if tables is not None:
+        w_arg, lo_arg, larges = tables
+        assert w_arg.shape == w_in_tile.shape, "tables mismatch (n/skip)"
+    else:
+        w_arg = jnp.asarray(w_in_tile)
         lo_arg = (jnp.asarray(lo_in_tile) if n_full
                   else jnp.zeros((1, T), jnp.uint32))
+        larges = tuple(jnp.asarray(large[s]) for s in sorted(large))
+    if halves:
         xm = _in_tile_call(spec, n, batch, halves, w_in_tile.shape[0],
-                           n_full)(xm, jnp.asarray(w_in_tile), lo_arg)
+                           n_full)(xm, w_arg, lo_arg)
 
-    for s in range(max(skip, T.bit_length() - 1), log_n):
-        xm = _large_pair_call(spec, n, 1 << s, batch)(
-            xm, jnp.asarray(large[s]))
+    for i, s in enumerate(range(max(skip, T.bit_length() - 1), log_n)):
+        xm = _large_pair_call(spec, n, 1 << s, batch)(xm, larges[i])
 
     return jnp.transpose(xm, (0, 2, 1))
