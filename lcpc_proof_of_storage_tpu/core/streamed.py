@@ -54,13 +54,16 @@ def _row_batches(n_rows: int, repr_bytes: int, target_rows: int) -> list[tuple[i
     return list(zip(bounds[:-1], bounds[1:]))
 
 
-def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int = 128,
+def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = None,
                     keep_comm: bool = True) -> LcCommit:
     """commit() with row-batched encode + incremental column hashing.
 
     keep_comm=True streams encoded batches back to host RAM (np.ndarray
     comm — prove() accepts it); False discards them (root/verify only;
-    re-encode on demand to prove)."""
+    re-encode on demand to prove).  target_batch_rows=None sizes batches so
+    one encoded batch is ~LCPC_STREAM_BATCH_BYTES (default 1 GB) — the NTT
+    chain holds 2-4 batch-sized buffers live, and the coefficient matrix
+    stays resident, so bigger batches OOM before they help."""
     coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
     spec = enc.spec
     W = spec.repr_bytes
@@ -76,10 +79,16 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int = 128,
             c.comm = None
         return c
 
+    if target_batch_rows is None:
+        import os
+        budget = int(os.environ.get("LCPC_STREAM_BATCH_BYTES", str(1 << 30)))
+        row_bytes = n_cols * spec.num_limbs16 * 4
+        target_batch_rows = max(1, min(1024, budget // row_bytes))
     batches = _row_batches(n_rows, W, target_batch_rows)
     ops = enc.device_operands()
 
-    def make_batch_fn(rows_b: int, first: bool, k: int, tail_len: int):
+    def make_batch_fn(rows_b: int, first: bool, k: int, tail_len: int,
+                      with_comm: bool):
         nwords_pad = k * 256 - ((32 if first else 0) + rows_b * W) // 4
 
         def f(cm_rows, counters, operands):
@@ -94,7 +103,10 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int = 128,
             if nwords_pad:
                 words = jnp.pad(words, ((0, 0), (0, nwords_pad)))
             cvs = chunk_cvs_words(words, counters, tail_len)
-            return comm_b, cvs
+            # keep_comm=False: comm_b stays an internal temp (a live output
+            # buffer per enqueued batch would accumulate in HBM — async
+            # dispatch runs well ahead of execution)
+            return (comm_b, cvs) if with_comm else cvs
         return f
 
     cv_parts = []
@@ -110,15 +122,21 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int = 128,
         assert span % 1024 == 0 or last, "interior batch misaligned"
         # jit key excludes chunk0: interior batches share one compilation
         # (counters ride as a traced argument)
-        fn = _enc_jit(enc, f"streamed_batch_{rows_b}_{first}_{tail_len}",
-                      lambda: make_batch_fn(rows_b, first, k, tail_len))
+        fn = _enc_jit(enc,
+                      f"streamed_batch_{rows_b}_{first}_{tail_len}_{keep_comm}",
+                      lambda: make_batch_fn(rows_b, first, k, tail_len,
+                                            keep_comm))
         counters = jnp.arange(chunk0, chunk0 + k, dtype=jnp.uint32)
-        comm_b, cvs = fn(coeff_mat[r_start:r_end], counters, ops)
-        cv_parts.append(cvs)
         if keep_comm:
+            # full readback per batch = natural backpressure
+            comm_b, cvs = fn(coeff_mat[r_start:r_end], counters, ops)
             comm_parts.append(np.asarray(comm_b))
         else:
-            del comm_b
+            cvs = fn(coeff_mat[r_start:r_end], counters, ops)
+            # scalar readback bounds enqueued-but-unexecuted batches (the
+            # NTT transients of many in-flight batches otherwise OOM HBM)
+            _ = int(np.asarray(jax.device_get(cvs[0, 0, 0])))
+        cv_parts.append(cvs)
         chunk0 += k
     assert chunk0 == total_chunks
 

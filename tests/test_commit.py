@@ -160,6 +160,42 @@ def test_dims_solver_invariants():
         assert n_cols & (n_cols - 1) == 0
 
 
+def test_random_size_rho_sweep():
+    """Randomized full-protocol sweep: random length and random rate, commit
+    -> prove -> verify -> eval check (lcpc-2d/src/tests.rs:415-426:
+    len in [2^7, 2^15), rho in (0.1, 0.9)).  Default 4 rounds for CI;
+    LCPC_BIG_FUZZ=1 runs the reference's scale."""
+    import os
+    rounds = 32 if os.environ.get("LCPC_BIG_FUZZ", "") not in ("", "0") else 4
+    rnd = random.Random(1414)
+    spec = FT63
+    for _ in range(rounds):
+        length = rnd.randrange(1 << 7, 1 << 12)
+        # random rate in (0.1, 0.9) as a small fraction
+        den = rnd.randrange(3, 11)
+        num = rnd.randrange(max(1, int(den * 0.1) + 1), int(den * 0.9))
+        enc = LigeroEncoding.new(length, spec, rho=(num, den))
+        coeffs = [rnd.randrange(spec.modulus) for _ in range(length)]
+        comm = commit(coeffs, enc)
+        root = comm.get_root().root
+        x = rnd.randrange(spec.modulus)
+        outer, inner = _tensors(spec, x, comm.n_rows, comm.n_per_row)
+
+        def fresh_tr():
+            tr = Transcript(b"sweep")
+            tr.append_message(b"polycommit", root)
+            tr.append_message(b"ncols",
+                              enc.get_n_col_opens().to_bytes(8, "little"))
+            return tr
+
+        proof = prove(comm, outer, enc, fresh_tr())
+        got = verify(root, outer, inner, proof, enc, fresh_tr())
+        expect = 0
+        for c in reversed(coeffs):
+            expect = (expect * x + c) % spec.modulus
+        assert got == expect, (length, num, den)
+
+
 def test_commit_deterministic():
     spec = FT63
     coeffs = [(i * 31 + 7) % spec.modulus for i in range(256)]
