@@ -330,6 +330,10 @@ def _verify_checks_fused(enc: LcEncoding):
 
     def make():
         def f(rows_mat, ops, rand_mats, outer_mat, cols_mat, col_idx):
+            # rows/cols arrive as uint16 (limbs are 16-bit): half the
+            # host->device transfer; widen on device
+            rows_mat = rows_mat.astype(jnp.uint32)
+            cols_mat = cols_mat.astype(jnp.uint32)
             fft = enc.encode(rows_mat, ops)                  # (ndt+1, n_cols, L)
             sel = jnp.take(fft, col_idx, axis=1)             # (ndt+1, k, L)
             d_rand = lf.dot(cols_mat[None, :, :, :],
@@ -428,7 +432,13 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     if isinstance(comm.comm, np.ndarray):
         cols_arr = comm.comm[:, np.asarray(cols_to_open), :]
     else:
-        cols_arr = np.asarray(comm.comm[:, jnp.asarray(cols_to_open), :])  # (rows, k, L)
+        # gather + narrow to uint16 on device: limbs are 16-bit, so this
+        # halves the device->host proof-column transfer
+        gather = _enc_jit(enc, "prove_gather", lambda: (
+            lambda c, idx: jnp.take(c, idx, axis=1).astype(jnp.uint16)))
+        cols_arr = np.asarray(
+            gather(comm.comm, jnp.asarray(cols_to_open, jnp.int32))
+        ).astype(np.uint32)                                 # (rows, k, L)
     columns = [
         LcColumn(col_limbs=cols_arr[:, i, :], spec=spec,
                  path=merkle_path(comm.hashes, comm.n_cols, c))
@@ -489,8 +499,7 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     _append_coeffs(tr, LABEL_PE, proof.p_eval, spec)
     cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
 
-    cols_mat = jnp.asarray(
-        np.stack([c.col_limbs(spec) for c in proof.columns]))       # (k, rows, L)
+    cols_np = np.stack([c.col_limbs(spec) for c in proof.columns])  # (k, rows, L)
     rand_mats = jnp.stack([lf.array(t) for t in rand_tensor_vec])   # (ndt, rows, L)
     outer_mat = lf.array(outer_tensor)                              # (rows, L)
     n_degree = enc.get_n_degree_tests()
@@ -501,8 +510,8 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         all_fft = _encode_rows_limbs(proof.p_random_vec + [proof.p_eval], enc)
         p_random_fft = [all_fft[i] for i in range(n_degree)]
         p_eval_fft = all_fft[-1]
-        d_rand, d_eval, leaves = _column_checks_fn(spec)(cols_mat, rand_mats,
-                                                         outer_mat)
+        d_rand, d_eval, leaves = _column_checks_fn(spec)(
+            jnp.asarray(cols_np), rand_mats, outer_mat)
         d_rand = np.asarray(d_rand)
         d_eval = np.asarray(d_eval)
         rand_ok_arr = np.array([
@@ -516,12 +525,13 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         # the encodes never touch the transcript, so hoisting them below the
         # challenge squeezes leaves the Fiat-Shamir evolution unchanged
         lfL = lf.L
-        rows_mat = np.zeros((n_degree + 1, enc.n_cols, lfL), np.uint32)
+        rows_mat = np.zeros((n_degree + 1, enc.n_cols, lfL), np.uint16)
         for i, vals in enumerate(proof.p_random_vec + [proof.p_eval]):
             rows_mat[i, : len(vals), :] = ints_to_limbs(vals, spec)
         rand_ok_dev, eval_ok_dev, leaves = _verify_checks_fused(enc)(
             jnp.asarray(rows_mat), enc.device_operands(), rand_mats,
-            outer_mat, cols_mat, jnp.asarray(cols_to_open, jnp.int32))
+            outer_mat, jnp.asarray(cols_np.astype(np.uint16)),
+            jnp.asarray(cols_to_open, jnp.int32))
         rand_ok_arr = np.asarray(rand_ok_dev)
         eval_ok_arr = np.asarray(eval_ok_dev)
 
