@@ -641,9 +641,9 @@ class ExpanderEncoder:
         if self._device_operands is None:
             from ..codes.ligero import _use_pallas
             if _use_pallas(256):
-                from .expander_pallas import _fused_tables
+                from .expander_pallas import fused_device_tables
                 def tab(gm):
-                    idx_g, vals_g, _, _, _ = _fused_tables(gm, self.field)
+                    idx_g, vals_g = fused_device_tables(gm, self.field)
                     return (jnp.asarray(idx_g), jnp.asarray(vals_g))
             else:
                 def tab(gm):

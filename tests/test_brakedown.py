@@ -124,8 +124,10 @@ def test_brakedown_ml_shape():
     assert n_rows * n_per_row == 1 << lgl
 
 
-def test_gather_matvec_fused_matches(monkeypatch):
-    """Fused pallas expander matvec == XLA path (interpret mode)."""
+@pytest.mark.parametrize("packed", ["1", "0"], ids=["packed", "unpacked"])
+def test_gather_matvec_fused_matches(monkeypatch, packed):
+    """Fused pallas expander matvec == XLA path (interpret mode), in both
+    the packed-pair-operand layout (default) and the plain limb layout."""
     from jax.experimental import pallas as pl
     orig = pl.pallas_call
 
@@ -134,8 +136,10 @@ def test_gather_matvec_fused_matches(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(pl, "pallas_call", interp)
+    monkeypatch.setenv("LCPC_EXPANDER_PACKED", packed)
     import lcpc_proof_of_storage_tpu.ops.expander_pallas as ep
     ep._group_call.cache_clear()
+    ep._group_call_packed.cache_clear()
     from lcpc_proof_of_storage_tpu.ops.expander import gather_matvec, generate, to_gather
     spec = FT63
     lf = limb_field(spec)
@@ -147,4 +151,5 @@ def test_gather_matvec_fused_matches(monkeypatch):
     ref = np.asarray(gather_matvec(gm, X, spec))     # XLA (cpu backend)
     got = np.asarray(ep.gather_matvec_fused(gm, X, spec))
     ep._group_call.cache_clear()
+    ep._group_call_packed.cache_clear()
     assert np.array_equal(got, ref)
