@@ -261,6 +261,26 @@ class FileHandler:
         assert acc.finalize_to_merkle_tree() == self.merkle_tree, \
             "raw-file re-encode tree mismatch"
 
+    def clone_to_new_ulid(self, base: Path | None = None) -> "FileHandler":
+        """Duplicate the on-disk quadruple under a fresh ulid and return a
+        handler attached to the copy.  The reference declares this surface
+        but never finished it (file_handler.rs:209 todo!()); semantics here:
+        byte-identical raw/enc/tree copies, metadata rewritten with the new
+        ulid (it is embedded in the JSON)."""
+        import shutil
+
+        from .storage import file_paths, new_ulid
+        ulid = new_ulid()
+        if base is None:
+            base = self.paths["raw"].parent.parent
+        dst = file_paths(ulid, base)
+        for key in ("raw", "enc", "tree"):
+            shutil.copyfile(self.paths[key], dst[key])
+        meta = self.get_encoded_metadata()
+        meta.ulid = ulid
+        meta.write_to_file(dst["meta"])
+        return FileHandler.attach(ulid, self.spec, base=base)
+
     def delete_all_files(self) -> None:
         self.reader.close()
         for p in self.paths.values():

@@ -59,3 +59,18 @@ def test_metadata_is_correct(tmp_path):
         fh.verify_all_files_agree()
 
     fh.delete_all_files()
+
+
+def test_clone_to_new_ulid(tmp_path):
+    rnd = random.Random(7)
+    data = bytes(rnd.randrange(256) for _ in range(900))
+    fh = FileHandler.create_from_bytes(data, 8, 16, POS_FIELD, base=tmp_path)
+    clone = fh.clone_to_new_ulid()
+    assert clone.ulid != fh.ulid
+    assert clone.merkle_tree.root() == fh.merkle_tree.root()
+    assert clone.get_encoded_metadata().ulid == clone.ulid
+    clone.verify_all_files_agree()
+    # divergence after clone: editing the clone leaves the original intact
+    clone.edit_bytes(10, b"\xff" * 20)
+    assert clone.merkle_tree.root() != fh.merkle_tree.root()
+    fh.verify_all_files_agree()
