@@ -52,23 +52,36 @@ def main() -> None:
     coeff = rng.integers(0, 1 << 16, size=(n_rows, n_per_row, L), dtype=np.uint32)
     top_mask = (spec.modulus >> (16 * (L - 1))) - 1 if L > 1 else spec.modulus - 1
     coeff[..., L - 1] &= max(top_mask, 1)
-    coeff_mat = jnp.asarray(coeff)
 
     # NOTE: on the axon TPU platform block_until_ready is effectively async;
     # force real execution by reducing to a scalar on device and reading it
     # back (first readback of a session takes ~40-90s: tunnel claim).
     # Sizes past ~2^24 exceed HBM for the one-shot encoded matrix (2^25
     # needs 24 GB); they run the out-of-core path (core/streamed.py),
-    # root Merkle build included.
+    # root Merkle build included.  Past ~2^26 the coefficients no longer fit
+    # beside the encode transients either — keep them in host RAM and upload
+    # per batch (device_coeffs=False).
     streamed = log2n >= int(os.environ.get("LCPC_BENCH_STREAM_LOG2", "25"))
+    host_coeffs = (log2n >= int(os.environ.get("LCPC_BENCH_HOST_COEFF_LOG2",
+                                               "26")))
     if streamed:
         from lcpc_proof_of_storage_tpu.core.streamed import commit_streamed
+        if host_coeffs:
+            coeff_flat = coeff.reshape(n_rows * n_per_row, L)
 
-        def run():
-            c = commit_streamed(coeff_mat.reshape(n_rows * n_per_row, L),
-                                enc, keep_comm=False)
-            return int(c.hashes[-1][0])
+            def run():
+                c = commit_streamed(coeff_flat, enc, keep_comm=False,
+                                    device_coeffs=False)
+                return int(c.hashes[-1][0])
+        else:
+            coeff_mat = jnp.asarray(coeff)
+
+            def run():
+                c = commit_streamed(coeff_mat.reshape(n_rows * n_per_row, L),
+                                    enc, keep_comm=False)
+                return int(c.hashes[-1][0])
     else:
+        coeff_mat = jnp.asarray(coeff)
         pipeline = _enc_jit(enc, "bench_pipeline", lambda: (
             lambda cm, ops: ((lambda comm: hash_columns(comm, enc.spec)
                               .sum(dtype=jnp.uint32))

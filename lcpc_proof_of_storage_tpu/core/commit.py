@@ -296,7 +296,9 @@ import functools
 @functools.lru_cache(maxsize=None)
 def _collapse_fn(spec: FieldSpec):
     lf = limb_field(spec)
-    return jax.jit(lambda c, tt: lf.dot(c, tt, axis=0))
+    # astype: a host-mode streamed commit stores coeffs as uint16 (16-bit
+    # limbs); widen on device (no-op for uint32 inputs)
+    return jax.jit(lambda c, tt: lf.dot(c.astype(jnp.uint32), tt, axis=0))
 
 
 @functools.lru_cache(maxsize=None)
@@ -371,8 +373,9 @@ def _collapse(coeff_mat: jnp.ndarray, tensor: list[int], spec: FieldSpec) -> lis
 @functools.lru_cache(maxsize=None)
 def _collapse2_fn(spec: FieldSpec):
     lf = limb_field(spec)
-    return jax.jit(lambda c, ta, tb: (lf.dot(c, ta, axis=0),
-                                      lf.dot(c, tb, axis=0)))
+    return jax.jit(lambda c, ta, tb: (
+        lambda cw: (lf.dot(cw, ta, axis=0), lf.dot(cw, tb, axis=0))
+    )(c.astype(jnp.uint32)))
 
 
 def _collapse2(coeff_mat: jnp.ndarray, tensor_a: list[int], tensor_b: list[int],

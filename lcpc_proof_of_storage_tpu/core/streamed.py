@@ -55,7 +55,8 @@ def _row_batches(n_rows: int, repr_bytes: int, target_rows: int) -> list[tuple[i
 
 
 def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = None,
-                    keep_comm: bool = True) -> LcCommit:
+                    keep_comm: bool = True,
+                    device_coeffs: bool = True) -> LcCommit:
     """commit() with row-batched encode + incremental column hashing.
 
     keep_comm=True streams encoded batches back to host RAM (np.ndarray
@@ -63,8 +64,29 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
     re-encode on demand to prove).  target_batch_rows=None sizes batches so
     one encoded batch is ~LCPC_STREAM_BATCH_BYTES (default 1 GB) — the NTT
     chain holds 2-4 batch-sized buffers live, and the coefficient matrix
-    stays resident, so bigger batches OOM before they help."""
-    coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
+    stays resident, so bigger batches OOM before they help.
+
+    device_coeffs=False keeps the coefficient matrix in HOST RAM and uploads
+    one row batch per step (uint16 over the wire — limbs are 16-bit): the
+    2^27+ regime, where even the coefficients exceed a single chip's HBM
+    alongside the encode transients.  Pass coeffs as an (n, L) uint32 limb
+    array to avoid a python-int conversion at this scale."""
+    if not device_coeffs:
+        if isinstance(coeffs, np.ndarray) and coeffs.ndim == 2:
+            length = coeffs.shape[0]
+            arr16 = coeffs.astype(np.uint16)
+        else:
+            from ..fields.field import ints_to_limbs
+            length = len(coeffs)
+            arr16 = ints_to_limbs(list(coeffs), enc.spec).astype(np.uint16)
+        n_rows, n_per_row, n_cols = enc.get_dims(length)
+        L = arr16.shape[1]
+        pad = n_rows * n_per_row - length
+        if pad:
+            arr16 = np.concatenate([arr16, np.zeros((pad, L), np.uint16)])
+        coeff_mat = arr16.reshape(n_rows, n_per_row, L)      # host, uint16
+    else:
+        coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
     spec = enc.spec
     W = spec.repr_bytes
     msg_len = 32 + n_rows * W
@@ -92,6 +114,7 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
         nwords_pad = k * 256 - ((32 if first else 0) + rows_b * W) // 4
 
         def f(cm_rows, counters, operands):
+            cm_rows = cm_rows.astype(jnp.uint32)    # host mode ships uint16
             padded = jnp.zeros((rows_b, n_cols, cm_rows.shape[-1]), jnp.uint32)
             padded = padded.at[:, :n_per_row, :].set(cm_rows)
             comm_b = enc.encode(padded, operands)

@@ -78,6 +78,43 @@ def test_streamed_prove_verify():
     assert got == expect
 
 
+def test_streamed_host_coeffs():
+    """device_coeffs=False (2^27+ regime): coefficients live in host RAM as
+    uint16 limbs, uploaded per batch — root, comm, and prove/verify must
+    match the device-resident path."""
+    from lcpc_proof_of_storage_tpu.fields.field import ints_to_limbs
+
+    spec = FT255
+    rnd = random.Random(21)
+    n_rows, n_per_row, n_cols = 64, 8, 32
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(n_per_row * n_rows)]
+    enc = LigeroEncoding(spec, n_per_row, n_cols)
+    dev = commit_streamed(coeffs, enc, target_batch_rows=32)
+    limb_arr = ints_to_limbs(coeffs, spec)
+    host = commit_streamed(limb_arr, enc, target_batch_rows=32,
+                           device_coeffs=False)
+    assert np.array_equal(dev.hashes, host.hashes)
+    assert np.array_equal(dev.comm, host.comm)
+
+    root = host.get_root().root
+    x = rnd.randrange(spec.modulus)
+    inner = [pow(x, i, spec.modulus) for i in range(n_per_row)]
+    outer = [pow(x, n_per_row * i, spec.modulus) for i in range(n_rows)]
+
+    def tr():
+        t = Transcript(b"test transcript")
+        t.append_message(b"polycommit", root)
+        t.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "little"))
+        return t
+
+    proof = prove(host, outer, enc, tr())
+    got = verify(root, outer, inner, proof, enc, tr())
+    expect = 0
+    for c in reversed(coeffs):
+        expect = (expect * x + c) % spec.modulus
+    assert got == expect
+
+
 def test_streamed_keep_comm_false():
     spec = FT63
     rnd = random.Random(9)
