@@ -80,6 +80,31 @@ def main():
     if not okh:
         sys.exit("MISMATCH blake3 pallas")
 
+    # packed-operand fused expander matvec == XLA gather path
+    from lcpc_proof_of_storage_tpu.ops.expander import (
+        SDIG_CODE_3, gather_matvec, generate, to_gather)
+    import lcpc_proof_of_storage_tpu.ops.expander_pallas as ep
+    pre, _post = generate(3000, 0, FT63, SDIG_CODE_3)
+    gm = to_gather(pre[0], FT63)
+    xs = jnp.asarray(np.random.default_rng(2).integers(
+        0, 1 << 15, (2, gm.cols, FT63.num_limbs16), dtype=np.uint32))
+    os.environ["LCPC_NO_PALLAS"] = "1"        # reference = plain XLA gather
+    ref_m = np.asarray(jax.jit(
+        lambda a: gather_matvec(gm, a, FT63, tables=(jnp.asarray(gm.idx),
+                                                     jnp.asarray(gm.vals))))(xs))
+    os.environ.pop("LCPC_NO_PALLAS", None)
+    for mode in ("1", "0"):
+        os.environ["LCPC_EXPANDER_PACKED"] = mode
+        tabs = tuple(jnp.asarray(t) for t in ep.fused_device_tables(gm, FT63))
+        got_m = np.asarray(jax.jit(
+            lambda a, tb: ep.gather_matvec_fused(gm, a, FT63, tables=tb)
+        )(xs, tabs))
+        okm = np.array_equal(got_m, ref_m)
+        print(f"# expander fused packed={mode} match={okm}", flush=True)
+        if not okm:
+            sys.exit(f"MISMATCH expander packed={mode}")
+    os.environ.pop("LCPC_EXPANDER_PACKED", None)
+
     # bench: ft255 commit NTT at the 2^log2n dims
     spec = FT255
     n_cols = 1 << (log2n - 5)        # rho=1/4 square-ish: (2^(l-5) rows... )
