@@ -115,6 +115,23 @@ def test_streamed_host_coeffs():
     assert got == expect
 
 
+def test_streamed_brakedown_matches():
+    """commit_streamed is code-agnostic: Brakedown (irregular n_cols, tall
+    matrices only at large n — reference 2^29 has ~570 rows) roots must be
+    bit-equal to the one-shot path."""
+    from lcpc_proof_of_storage_tpu.codes.brakedown import BrakedownEncoding
+    from lcpc_proof_of_storage_tpu.ops.expander import SDIG_CODE_3, ExpanderEncoder
+
+    spec = FT63
+    rnd = random.Random(31)
+    enc = BrakedownEncoding(ExpanderEncoder(32, 0, spec, SDIG_CODE_3))
+    length = 32 * 300                   # 300 rows -> 3 chunks at W=8
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(length)]
+    one = commit(coeffs, enc)
+    streamed = commit_streamed(coeffs, enc, target_batch_rows=128)
+    assert np.array_equal(one.hashes, streamed.hashes)
+
+
 def test_streamed_keep_comm_false():
     spec = FT63
     rnd = random.Random(9)
