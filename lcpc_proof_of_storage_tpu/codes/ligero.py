@@ -169,6 +169,10 @@ class LigeroEncoding(LcEncoding):
             return cross_chip_ntt(rows, self.spec, self.mesh,
                                   axis=self.mesh_axis, inverse=True)
         if _use_pallas(self.n_cols):
+            import os
+            if os.environ.get("LCPC_NTT_KERNEL", "v2") != "v1":
+                from ..ops.ntt_pallas2 import ntt_pallas2
+                return ntt_pallas2(rows, self.spec, inverse=True)
             from ..ops.ntt_pallas import ntt_pallas
             return ntt_pallas(rows, self.spec, inverse=True)
         from ..ops.ntt import intt

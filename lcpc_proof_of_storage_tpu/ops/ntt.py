@@ -118,16 +118,16 @@ def _auto_ntt(x: jnp.ndarray, spec: FieldSpec, inverse: bool,
               n_nonzero: int | None = None) -> jnp.ndarray:
     """Route through the fused Pallas path when available (TPU, n >= 256).
 
-    Forward transforms default to the v2 kernels (constant-multiply tables
+    Both directions default to the v2 kernels (constant-multiply tables
     + pair-grouped butterflies, ops/ntt_pallas2.py); LCPC_NTT_KERNEL=v1
-    falls back to the Montgomery stage kernels.  The inverse keeps v1 (not
-    commit-hot; v2 tables are forward-only today)."""
+    falls back to the Montgomery stage kernels."""
     import os
     from ..codes.ligero import _use_pallas
     if _use_pallas(x.shape[-2]):
-        if not inverse and os.environ.get("LCPC_NTT_KERNEL", "v2") != "v1":
+        if os.environ.get("LCPC_NTT_KERNEL", "v2") != "v1":
             from .ntt_pallas2 import ntt_pallas2
-            return ntt_pallas2(x, spec, n_nonzero=n_nonzero)
+            return ntt_pallas2(x, spec, n_nonzero=None if inverse else n_nonzero,
+                               inverse=inverse)
         from .ntt_pallas import ntt_pallas
         return ntt_pallas(x, spec, inverse=inverse, n_nonzero=n_nonzero)
     return intt(x, spec) if inverse else ntt(x, spec)

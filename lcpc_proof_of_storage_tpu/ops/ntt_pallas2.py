@@ -360,7 +360,8 @@ def _skip_for(n: int, n_nonzero: int | None) -> int:
 
 
 def v2_device_tables(spec: FieldSpec, n: int,
-                     n_nonzero: int | None = None) -> tuple:
+                     n_nonzero: int | None = None,
+                     inverse: bool = False) -> tuple:
     """Twiddle tables for ntt_pallas2 as a device pytree: (w_in_tile,
     lo_in_tile, (large_s, ...)).  Call OUTSIDE any trace and thread through
     jit as arguments — at n >= 2^18 the large-stage tables run to hundreds
@@ -369,7 +370,7 @@ def v2_device_tables(spec: FieldSpec, n: int,
     import jax
     T = min(_TILE2, n)
     skip = _skip_for(n, n_nonzero)
-    halves, w_in_tile, lo_in_tile, large = _v2_tables(spec, n, skip, False)
+    halves, w_in_tile, lo_in_tile, large = _v2_tables(spec, n, skip, inverse)
     n_full = sum(1 for h in halves if h < _PACK)
     lo_np = lo_in_tile if n_full else np.zeros((1, T), np.uint32)
     larges = tuple(jax.device_put(large[s])
@@ -379,19 +380,21 @@ def v2_device_tables(spec: FieldSpec, n: int,
 
 def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
                 n_nonzero: int | None = None,
-                tables: tuple | None = None) -> jnp.ndarray:
-    """Forward NTT along axis -2; bit-identical to ops.ntt.ntt.
+                tables: tuple | None = None,
+                inverse: bool = False) -> jnp.ndarray:
+    """NTT along axis -2; bit-identical to ops.ntt.ntt / ops.ntt.intt.
 
     x: (batch, n, L).  n_nonzero: zero-padding promise (stage pruning, same
-    semantics as ops/ntt_pallas.py).  tables: optional pytree from
-    v2_device_tables (same spec/n/n_nonzero) so the twiddles ride as jit
-    arguments; None builds them inline (fine eagerly or for small n)."""
+    semantics as ops/ntt_pallas.py; forward only).  tables: optional pytree
+    from v2_device_tables (same spec/n/n_nonzero/inverse) so the twiddles
+    ride as jit arguments; None builds them inline (fine eagerly or for
+    small n).  inverse runs the inverse twiddles + final n^-1 scaling."""
     batch, n, L = x.shape
     assert n & (n - 1) == 0 and n >= 256, "pallas path needs pow2 n >= 256"
     log_n = n.bit_length() - 1
     T = min(_TILE2, n)
 
-    skip = _skip_for(n, n_nonzero)
+    skip = 0 if inverse else _skip_for(n, n_nonzero)
     rev = _bit_reverse_perm(n)
     if skip:
         idx = rev[np.arange(n) & ~((1 << skip) - 1)]
@@ -400,7 +403,7 @@ def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
     x = jnp.take(x, jnp.asarray(idx), axis=-2)
     xm = jnp.transpose(x, (0, 2, 1))                       # (batch, L, n)
 
-    halves, w_in_tile, lo_in_tile, large = _v2_tables(spec, n, skip, False)
+    halves, w_in_tile, lo_in_tile, large = _v2_tables(spec, n, skip, inverse)
     n_full = sum(1 for h in halves if h < _PACK)
     if tables is not None:
         w_arg, lo_arg, larges = tables
@@ -417,4 +420,11 @@ def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
     for i, s in enumerate(range(max(skip, T.bit_length() - 1), log_n)):
         xm = _large_pair_call(spec, n, 1 << s, batch)(xm, larges[i])
 
-    return jnp.transpose(xm, (0, 2, 1))
+    out = jnp.transpose(xm, (0, 2, 1))
+    if inverse:
+        from ..fields.field import ints_to_limbs
+        from ..fields.limb import limb_field
+        lf = limb_field(spec)
+        n_inv = ints_to_limbs([spec.inv(n % spec.modulus)], spec)[0]
+        out = lf.mul(out, jnp.asarray(n_inv))
+    return out

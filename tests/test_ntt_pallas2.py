@@ -48,6 +48,26 @@ def test_ntt_pallas2_matches_xla(interpret_pallas, n, batch):
     assert np.array_equal(got, want)
 
 
+def test_ntt_pallas2_inverse_matches_xla(interpret_pallas):
+    from lcpc_proof_of_storage_tpu.ops.ntt import intt
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas2 import ntt_pallas2
+    rnd = random.Random(77)
+    n, L = 1024, FT63.num_limbs16
+    x = np.zeros((2, n, L), np.uint32)
+    for b in range(2):
+        for j in range(n):
+            v = rnd.randrange(FT63.modulus)
+            for i in range(L):
+                x[b, j, i] = (v >> (16 * i)) & 0xFFFF
+    got = np.asarray(ntt_pallas2(x, FT63, inverse=True))
+    want = np.asarray(intt(x, FT63))
+    assert np.array_equal(got, want)
+    # round trip: intt(ntt(x)) == x
+    rt = np.asarray(ntt_pallas2(np.asarray(ntt_pallas2(x, FT63)), FT63,
+                                inverse=True))
+    assert np.array_equal(rt, x)
+
+
 @pytest.mark.parametrize("n,nonzero", [(1024, 256), (2048, 100)])
 def test_ntt_pallas2_stage_pruning(interpret_pallas, n, nonzero):
     from lcpc_proof_of_storage_tpu.ops.ntt_pallas2 import ntt_pallas2
