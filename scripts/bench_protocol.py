@@ -47,8 +47,8 @@ def main() -> None:
         from lcpc_proof_of_storage_tpu.codes.ligero import LigeroEncoding
         make_enc = lambda n: LigeroEncoding.new(n, spec, rho=(1, 4))
     else:
-        from lcpc_proof_of_storage_tpu.codes.brakedown import SdigEncoding
-        make_enc = lambda n: SdigEncoding.new(n, spec)
+        from lcpc_proof_of_storage_tpu.codes.brakedown import BrakedownEncoding
+        make_enc = lambda n: BrakedownEncoding.new(n, 0, spec)
 
     print(f"# protocol bench {code}/{field_name} on {jax.devices()[0]}",
           file=sys.stderr)
