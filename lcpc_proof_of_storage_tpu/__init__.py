@@ -32,6 +32,9 @@ def __getattr__(name):
                 "ProverError"):
         from .core import commit as _c
         return getattr(_c, name)
+    if name == "commit_streamed":
+        from .core.streamed import commit_streamed
+        return commit_streamed
     if name == "Transcript":
         from .crypto.transcript import Transcript
         return Transcript
