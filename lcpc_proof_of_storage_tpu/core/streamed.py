@@ -71,6 +71,10 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
     2^27+ regime, where even the coefficients exceed a single chip's HBM
     alongside the encode transients.  Pass coeffs as an (n, L) uint32 limb
     array to avoid a python-int conversion at this scale."""
+    assert getattr(enc, "mesh", None) is None, (
+        "wide (mesh) encodings commit via parallel.wide.wide_commit_from_"
+        "matrix — the cross-chip NTT cannot nest inside the streamed batch "
+        "jit (its twiddles would bake into the HLO as literals)")
     if not device_coeffs:
         if isinstance(coeffs, np.ndarray) and coeffs.ndim == 2:
             length = coeffs.shape[0]
