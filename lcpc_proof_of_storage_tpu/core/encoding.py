@@ -53,10 +53,24 @@ class LcEncoding(abc.ABC):
 
     def with_mesh(self, mesh, axis: str = "d"):
         """Enable the wide pipeline: the encoded-column axis is sharded over
-        `mesh` and rows are encoded with the cross-chip NTT.  Returns self."""
-        self.mesh = mesh
-        self.mesh_axis = axis
-        return self
+        `mesh` and rows are encoded with the cross-chip NTT.
+
+        Returns a COPY — the receiver is untouched, so routing one commit
+        through the wide path cannot silently flip every later use of the
+        same encoding into mesh mode.  Per-encoding caches (jit programs,
+        device tables) are not shared: they key on mode-dependent encode
+        behavior."""
+        import copy
+        new = copy.copy(self)
+        new.mesh = mesh
+        new.mesh_axis = axis
+        for attr in ("_jit_cache", "_v2_dev_tables", "_device_operands"):
+            if hasattr(new, attr):
+                try:
+                    delattr(new, attr)
+                except AttributeError:
+                    pass
+        return new
 
     def encode_wide(self, rows: jnp.ndarray) -> jnp.ndarray:
         """Mesh-sharded encode of (batch, n_cols, L) padded buffers.  Only

@@ -242,16 +242,6 @@ def intt_rows_u64(vals, out, n: int, p: int, w_inv: int, n_inv: int) -> bool:
     return rc == 0
 
 
-def transpose_u64(src, dst) -> bool:
-    """(k, n) -> (n, k) u64 transpose (both C-contiguous numpy)."""
-    lib = native()
-    if lib is None:
-        return False
-    u64p = ctypes.POINTER(ctypes.c_uint64)
-    lib.pos_transpose_u64(src.ctypes.data_as(u64p), src.shape[0],
-                          src.shape[1], dst.ctypes.data_as(u64p))
-    return True
-
 
 def scatter_u64(src, dst_base_addr: int, stride_elems: int,
                 contig=None) -> bool:
@@ -283,28 +273,6 @@ def scatter_hash_u64(src, dst_base_addr: int, stride_elems: int,
     return True
 
 
-def pwrite_strided_blocks(fd: int, buf, start: int, stride: int,
-                          block: int, count: int) -> bool:
-    """count pwrites of `block` bytes from contiguous buf, `stride` apart."""
-    lib = native()
-    if lib is None:
-        return False
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    rc = lib.pos_pwrite_strided_blocks(fd, buf.ctypes.data_as(u8p), start,
-                                       stride, block, count)
-    return rc == 0
-
-
-def pread_strided_blocks(fd: int, buf, start: int, stride: int,
-                         block: int, count: int) -> bool:
-    """count preads of `block` bytes into contiguous buf, `stride` apart."""
-    lib = native()
-    if lib is None:
-        return False
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    rc = lib.pos_pread_strided_blocks(fd, buf.ctypes.data_as(u8p), start,
-                                      stride, block, count)
-    return rc == 0
 
 
 def blake3_native(data: bytes) -> bytes | None:

@@ -427,9 +427,14 @@ def _simulate_gen(W: np.ndarray, n: int, m: int, d: int, dist: UniformUsize,
 def _matgen_native(W: np.ndarray, n: int, m: int, d: int, dist: UniformUsize,
                    field: FieldSpec):
     """C++ draw-by-draw walk over the peeked window (same return contract
-    as _simulate_gen; values converted from reprs vectorized on host)."""
-    from ..native import native
+    as _simulate_gen; values converted from reprs vectorized on host).
+    LCPC_NO_NATIVE_MATGEN=1 forces the numpy fallback (CI exercises both)."""
     import ctypes
+    import os
+
+    from ..native import native
+    if os.environ.get("LCPC_NO_NATIVE_MATGEN"):
+        return False
     lib = native()
     if lib is None:
         return False

@@ -28,8 +28,12 @@ Two structural wins over ops/ntt_pallas.py (v1):
    width with roll-based exchange, but still use the cheap table multiply.
 
 Same contract and bit-identical results as ops/ntt.py (canonical residues
-at every butterfly; oracle: tests/test_ntt_pallas2.py).  Forward transform
-only -- the inverse path keeps the v1 Montgomery kernels (not commit-hot).
+at every butterfly; oracle: tests/test_ntt_pallas2.py).  Both directions:
+the inverse runs the inverse twiddle tables + a final n^-1 scaling.  The
+inverse call sites (decode, _auto_ntt) run eagerly with inline tables —
+jitting a large-n (>= 2^18) inverse without threading v2_device_tables
+would bake the tables into the HLO (the compile-payload pathology the
+forward path's device_operands() exists to avoid).
 
 Reference parity note: this replaces fffft's per-row recursive NTT
 (lcpc-ligero-pc/src/lib.rs:162-164) for the commit encode hot path.
@@ -46,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.field import FieldSpec
-from .ntt import _bit_reverse_perm, _ntt_tables
+from .ntt import _bit_reverse_perm
 from .ntt_pallas import (
     MASK16,
     U32,
@@ -256,7 +260,6 @@ def _v2_tables(spec: FieldSpec, n: int, skip: int, inverse: bool):
     T = min(_TILE2, n)
     log_n = n.bit_length() - 1
     stages = _twiddle_ints(spec, n, inverse)
-    _, _, lo_mask = _ntt_tables(spec, n, inverse)
 
     in_tile_rows = []
     lo_rows = []
@@ -270,7 +273,11 @@ def _v2_tables(spec: FieldSpec, n: int, skip: int, inverse: bool):
         if half < _PACK:
             reps = np.array([vals[t % half] for t in range(T)], object)
             in_tile_rows.append(_cmul_rows_np(reps, spec))
-            lo_rows.append(lo_mask[s][:T].astype(np.uint32))
+            # lo lanes of stage s: bit s of the lane index clear (the v1
+            # oracle's lo_mask, ops/ntt.py:73, computed directly — the full
+            # v1 twiddle tables are hundreds of MB at commit-scale n)
+            lo_rows.append(
+                (((np.arange(T) >> s) & 1) == 0).astype(np.uint32))
         else:
             reps = np.array([vals[t % half] for t in range(T // 2)], object)
             tab = np.zeros((L * L, T), np.uint32)

@@ -154,17 +154,6 @@ def u64_to_limbs_np(v: np.ndarray) -> np.ndarray:
     return out
 
 
-def data_bytes_to_u64_np(data: bytes | np.ndarray, spec: FieldSpec) -> np.ndarray:
-    """Flat data bytes -> (n_elems,) u64 (cap-byte LE chunks, zero-padded)."""
-    arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
-    cap = spec.data_byte_capacity
-    n = ceildiv(len(arr), cap)
-    flat = np.zeros(n * cap, np.uint8)
-    flat[: len(arr)] = arr
-    padded = np.zeros((n, 8), np.uint8)
-    padded[:, :cap] = flat.reshape(n, cap)
-    return padded.reshape(-1).view("<u8")
-
 
 def data_bytes_to_limbs_np(data: bytes | np.ndarray, spec: FieldSpec) -> np.ndarray:
     """Flat data bytes -> (n_elems, L) limbs (DataField::from_byte_vec)."""
@@ -644,8 +633,6 @@ class EncodedFileWriter:
         self._file.truncate(self.row_capacity * n_cols * spec.repr_bytes)
         self._row_buf: list[np.ndarray] = []       # encoded row batches
         self._mm = None                            # u64 path: mmap view
-        self._io_pool = None                       # u64 path: 1-thread IO
-        self._io_future = None
 
     @property
     def row_bytes(self) -> int:
@@ -710,11 +697,6 @@ class EncodedFileWriter:
         self.accumulator.update_batch(encoded)
         self._write_rows(encoded)
 
-    def _io_wait(self) -> None:
-        if self._io_future is not None:
-            fut, self._io_future = self._io_future, None
-            fut.result()
-
     def _encode_and_write_u64(self, chunk: bytes) -> None:
         """One-u64-field fast path: bytes -> u64 -> native NTT -> fused
         native scatter+hash into the fallocate'd mmap, with zero limb
@@ -731,7 +713,6 @@ class EncodedFileWriter:
             chunk, cap, rows, self.n_per_row, enc, self.n_cols,
             self.spec.modulus, self.spec.nth_root_of_unity(self.n_cols))
         assert ok
-        self._io_wait()
         if self.rows_written + rows > self.row_capacity:
             self.set_new_capacity(2 * (self.rows_written + rows))
         mm = self._mapped()
@@ -766,7 +747,6 @@ class EncodedFileWriter:
 
     def set_new_capacity(self, new_capacity: int) -> None:
         assert new_capacity >= self.rows_written
-        self._io_wait()
         if self._mm is not None:
             self._mm.close()
             self._mm = None
@@ -788,7 +768,6 @@ class EncodedFileWriter:
                 self._encode_and_write(k, partial=False)
             else:
                 self._encode_and_write(1, partial=True)
-        self._io_wait()   # hash state must be complete before finalize
 
     def metadata(self, ulid: str = "") -> EncodedFileMetadata:
         return EncodedFileMetadata(
@@ -797,7 +776,6 @@ class EncodedFileWriter:
             row_capacity=self.row_capacity, bytes_of_data=self.bytes_received)
 
     def _close_file(self) -> None:
-        self._io_wait()
         if self._mm is not None:
             self._mm.close()
             self._mm = None

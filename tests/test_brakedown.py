@@ -47,14 +47,20 @@ def test_matgen_deterministic_and_column_regular():
         assert all(v != 0 for v in vals)
 
 
-def test_gen_code_vectorized_matches_seq():
-    """The numpy stream-simulated gen_code must be bit-identical to the
-    draw-by-draw oracle (indices, values, AND RNG consumption) — including
-    duplicate-row fallback columns (small m forces collisions)."""
+@pytest.mark.parametrize("force_numpy", [False, True],
+                         ids=["native-or-numpy", "numpy-forced"])
+def test_gen_code_vectorized_matches_seq(monkeypatch, force_numpy):
+    """The fast gen_code paths must be bit-identical to the draw-by-draw
+    oracle (indices, values, AND RNG consumption) — including duplicate-row
+    fallback columns (small m forces collisions).  Parametrized so the
+    numpy stream simulation is exercised even on hosts where the C++ walk
+    builds (it would otherwise always win and ship untested)."""
     from lcpc_proof_of_storage_tpu.crypto.chacha import ChaChaRng
     from lcpc_proof_of_storage_tpu.fields.field import FIELDS
     from lcpc_proof_of_storage_tpu.ops.expander import gen_code, gen_code_seq
 
+    if force_numpy:
+        monkeypatch.setenv("LCPC_NO_NATIVE_MATGEN", "1")
     cases = [(2000, 700, 8), (1500, 24, 6)]  # dense + collision-heavy
     for fname in ("ft63", "ft255"):
         f = FIELDS[fname]

@@ -98,7 +98,11 @@ def test_sharded_commit_selects_wide_beyond_budget(mesh, monkeypatch):
     coeffs = [rnd.randrange(spec.modulus) for _ in range(700)]
     enc = LigeroEncoding.new_from_dims(256, 1024, spec)
     comm = sharded_commit(coeffs, enc, mesh)        # n_cols 1024 > budget 512
-    assert enc.mesh is mesh                         # wide path engaged
+    # wide path engaged: the commitment carries the column-sharded comm
+    # (device sharding spans the mesh), and the CALLER's encoding is NOT
+    # mutated — with_mesh hands the wide pipeline a copy
+    assert enc.mesh is None
+    assert len(comm.comm.sharding.device_set) == mesh.devices.size
     single = commit(coeffs, LigeroEncoding.new_from_dims(256, 1024, spec))
     assert np.array_equal(comm.hashes, single.hashes)
 
