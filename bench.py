@@ -81,11 +81,14 @@ def main() -> None:
                                     enc, keep_comm=False)
                 return int(c.hashes[-1][0])
     else:
+        from lcpc_proof_of_storage_tpu.core.commit import merkle_tree_device
         coeff_mat = jnp.asarray(coeff)
+        # full commit work: encode + column hash + Merkle tree (the
+        # reference's commit includes merkleization, lib.rs:651-700)
         pipeline = _enc_jit(enc, "bench_pipeline", lambda: (
-            lambda cm, ops: ((lambda comm: hash_columns(comm, enc.spec)
-                              .sum(dtype=jnp.uint32))
-                             (_encode_matrix(cm, enc, n_cols, ops)))))
+            lambda cm, ops: merkle_tree_device(
+                hash_columns(_encode_matrix(cm, enc, n_cols, ops), enc.spec),
+                n_cols)[-1].sum(dtype=jnp.uint32)))
         operands = enc.device_operands()
 
         def run():
