@@ -58,12 +58,14 @@ def main() -> None:
     # back (first readback of a session takes ~40-90s: tunnel claim).
     # Sizes past ~2^24 exceed HBM for the one-shot encoded matrix (2^25
     # needs 24 GB); they run the out-of-core path (core/streamed.py),
-    # root Merkle build included.  Past ~2^26 the coefficients no longer fit
-    # beside the encode transients either — keep them in host RAM and upload
-    # per batch (device_coeffs=False).
+    # root Merkle build included.  Device-resident coefficients ride as
+    # PACKED uint16 limbs (2^26 ft255 = 2 GB instead of 4 GB; batch kernels
+    # widen in-flight).  Past ~2^27 even that no longer fits beside the
+    # encode transients — keep coefficients in host RAM and upload per
+    # batch (device_coeffs=False).
     streamed = log2n >= int(os.environ.get("LCPC_BENCH_STREAM_LOG2", "25"))
     host_coeffs = (log2n >= int(os.environ.get("LCPC_BENCH_HOST_COEFF_LOG2",
-                                               "26")))
+                                               "27")))
     if streamed:
         from lcpc_proof_of_storage_tpu.core.streamed import commit_streamed
         if host_coeffs:
@@ -74,11 +76,11 @@ def main() -> None:
                                     device_coeffs=False)
                 return int(c.hashes[-1][0])
         else:
-            coeff_mat = jnp.asarray(coeff)
+            coeff_mat = jnp.asarray(
+                coeff.astype(np.uint16).reshape(n_rows * n_per_row, L))
 
             def run():
-                c = commit_streamed(coeff_mat.reshape(n_rows * n_per_row, L),
-                                    enc, keep_comm=False)
+                c = commit_streamed(coeff_mat, enc, keep_comm=False)
                 return int(c.hashes[-1][0])
     else:
         from lcpc_proof_of_storage_tpu.core.commit import merkle_tree_device

@@ -155,6 +155,8 @@ def _coeffs_to_matrix(coeffs, enc: LcEncoding):
         length = len(coeffs)
         arr = lf.array(list(coeffs))
     else:
+        # arrays keep their dtype: a uint16 limb matrix stays uint16 on
+        # device (half the HBM / transfer; kernels widen per batch)
         length = coeffs.shape[0]
         arr = jnp.asarray(coeffs)
     n_rows, n_per_row, n_cols = enc.get_dims(length)
@@ -163,7 +165,9 @@ def _coeffs_to_matrix(coeffs, enc: LcEncoding):
     assert enc.dims_ok(n_per_row, n_cols)
     pad = n_rows * n_per_row - length
     if pad:
-        arr = jnp.concatenate([arr, lf.zeros((pad,))], axis=0)
+        arr = jnp.concatenate(
+            [arr, jnp.zeros((pad, arr.shape[-1]) if arr.ndim == 2 else (pad,),
+                            arr.dtype)], axis=0)
     return arr.reshape(n_rows, n_per_row, lf.L), (n_rows, n_per_row, n_cols)
 
 
