@@ -214,10 +214,12 @@ def commit(coeffs, enc: LcEncoding) -> LcCommit:
 
     if enc.mesh is not None:
         # wide-row mode: encoded columns sharded over the mesh, cross-chip
-        # NTT encode, shard-local hashing (parallel/wide.py)
+        # NTT encode, shard-local hashing (parallel/wide.py).  The cross-chip
+        # ops assume uint32 limbs, so widen packed uint16 inputs here (the
+        # single-chip pipeline widens per batch instead).
         from ..parallel.wide import wide_commit_from_matrix
-        return wide_commit_from_matrix(coeff_mat, (n_rows, n_per_row, n_cols),
-                                       enc)
+        return wide_commit_from_matrix(coeff_mat.astype(jnp.uint32),
+                                       (n_rows, n_per_row, n_cols), enc)
 
     # encode tables (Brakedown gather matrices) ride as jit arguments, not
     # HLO literals — multi-MB embedded constants blow up compile payloads
@@ -232,10 +234,11 @@ def commit(coeffs, enc: LcEncoding) -> LcCommit:
 
 
 def check_comm(comm: LcCommit, enc: LcEncoding) -> None:
-    if comm.comm is None:
-        raise ProverError("commitment has no encoded matrix "
-                          "(commit_streamed(keep_comm=False) cannot prove)")
-    ok = (comm.comm.shape[:2] == (comm.n_rows, comm.n_cols)
+    # comm.comm is None for a commit_streamed(keep_comm=False) commitment:
+    # prove() then re-encodes on demand from the resident coefficients
+    # (core/streamed.py open_columns_streamed)
+    ok = ((comm.comm is None
+           or comm.comm.shape[:2] == (comm.n_rows, comm.n_cols))
           and comm.coeffs.shape[:2] == (comm.n_rows, comm.n_per_row)
           and comm.hashes.shape[0] == 2 * next_power_of_two(comm.n_cols) - 1
           and enc.dims_ok(comm.n_per_row, comm.n_cols))
@@ -412,6 +415,10 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
         raise ProverError("outer tensor: wrong size")
     spec = enc.spec
 
+    # out-of-core commitment (commit_streamed keep_comm=False): collapses
+    # run in row batches and the opened columns are re-encoded on demand
+    streamed = comm.comm is None
+
     # The eval collapse uses only the caller-supplied outer tensor, so it
     # shares a device round trip with the first degree-test collapse; the
     # transcript evolution (squeeze rand_i -> append p_random_i -> ... ->
@@ -421,10 +428,19 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     for i in range(enc.get_n_degree_tests()):
         rand_tensor = _challenge_tensor(tr, spec, comm.n_rows)
         if i == 0:
-            p_random, p_eval = _collapse2(comm.coeffs, rand_tensor,
-                                          outer_tensor, spec)
+            if streamed:
+                from .streamed import collapse_streamed
+                p_random, p_eval = collapse_streamed(
+                    comm, enc, [rand_tensor, outer_tensor])
+            else:
+                p_random, p_eval = _collapse2(comm.coeffs, rand_tensor,
+                                              outer_tensor, spec)
         else:
-            p_random = _collapse(comm.coeffs, rand_tensor, spec)
+            if streamed:
+                from .streamed import collapse_streamed
+                p_random, = collapse_streamed(comm, enc, [rand_tensor])
+            else:
+                p_random = _collapse(comm.coeffs, rand_tensor, spec)
         _append_coeffs(tr, LABEL_PR, p_random, spec)
         p_random_vec.append(p_random)
 
@@ -436,7 +452,10 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     # batched column extraction on device (one readback), limbs kept as-is,
     # paths folded from the host-resident Merkle array.  A streamed commit
     # keeps comm in host RAM (np.ndarray) — gather there instead.
-    if isinstance(comm.comm, np.ndarray):
+    if streamed:
+        from .streamed import open_columns_streamed
+        cols_arr = open_columns_streamed(comm, enc, cols_to_open)
+    elif isinstance(comm.comm, np.ndarray):
         cols_arr = comm.comm[:, np.asarray(cols_to_open), :]
     else:
         # gather + narrow to uint16 on device: limbs are 16-bit, so this

@@ -28,7 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..fields.field import FieldSpec
+from ..fields.field import FieldSpec, ints_to_limbs, limbs_to_ints
+from ..fields.limb import limb_field
 from ..ops.blake3_jax import (
     chunk_cvs_words, limbs_to_repr_words, merge_chunk_cvs,
 )
@@ -175,3 +176,91 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
     comm = np.concatenate(comm_parts, axis=0) if keep_comm else None
     return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
                     n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)
+
+
+# --------------------------------------------------------------------------
+# out-of-core prove support: re-encode-on-demand column opening + batched
+# collapse.  Matches the reference's large-n prove capability
+# (lcpc-2d/src/lib.rs:1034-1123 at 2^25-2^29, where it holds `comm` in
+# 256 GB host RAM) without ever materializing the encoded matrix: the
+# column challenge indices are known after the transcript squeeze, so one
+# batched encode pass gathers exactly the k opened columns.
+# --------------------------------------------------------------------------
+
+def _even_row_batches(n_rows: int, bytes_per_row: int,
+                      target_batch_rows: int | None) -> list[tuple[int, int]]:
+    """Plain even splits (no chunk alignment — nothing is hashed here)."""
+    if target_batch_rows is None:
+        import os
+        budget = int(os.environ.get("LCPC_STREAM_BATCH_BYTES", str(1 << 30)))
+        target_batch_rows = max(1, budget // max(bytes_per_row, 1))
+    step = max(1, min(n_rows, target_batch_rows))
+    return [(s, min(s + step, n_rows)) for s in range(0, n_rows, step)]
+
+
+def collapse_streamed(comm: LcCommit, enc: LcEncoding,
+                      tensors: list[list[int]],
+                      target_batch_rows: int | None = None) -> list[list[int]]:
+    """[t^T . coeffs for t in tensors] in row batches (one pass, shared).
+
+    Per batch: exact-limb dot partials (canonical after lf.dot) are folded
+    into a (T, n_per_row, L) device accumulator with a field add — no
+    full-matrix (rows, n_per_row, 2L) product transient, so prove works at
+    2^26+ where the one-shot collapse's widened product would not fit HBM.
+    Host uint16 coefficient matrices (device_coeffs=False commits) upload
+    one batch per step."""
+    spec = enc.spec
+    lf = limb_field(spec)
+    n_rows, n_per_row = comm.n_rows, comm.n_per_row
+    T = len(tensors)
+    t_mat = np.stack([ints_to_limbs(t, spec) for t in tensors])  # (T, rows, L)
+    # transient ~ T * rows_b * n_per_row * (2L+1) u32; budget it like a batch
+    batches = _even_row_batches(n_rows, T * n_per_row * (2 * lf.L + 1) * 4,
+                                target_batch_rows)
+
+    def make_step(rows_b: int):
+        def f(acc, c_rows, t_rows):
+            c_rows = c_rows.astype(jnp.uint32)
+            part = lf.dot(c_rows[None], t_rows[:, :, None, :], axis=1)
+            return lf.add(acc, part)                 # (T, n_per_row, L)
+        return f
+
+    acc = lf.zeros((T, n_per_row))
+    for r0, r1 in batches:
+        step = _enc_jit(enc, f"collapse_stream_{T}_{r1 - r0}",
+                        lambda: make_step(r1 - r0))
+        acc = step(acc, comm.coeffs[r0:r1], jnp.asarray(t_mat[:, r0:r1]))
+    out = np.asarray(acc)
+    return [limbs_to_ints(out[i]) for i in range(T)]
+
+
+def open_columns_streamed(comm: LcCommit, enc: LcEncoding,
+                          cols_to_open: list[int],
+                          target_batch_rows: int | None = None) -> np.ndarray:
+    """(n_rows, k, L) uint32 of the opened columns, re-encoded in batches.
+
+    Each batch runs the same fused encode the commit used, gathers the k
+    challenged columns on device, and reads back only (rows_b, k, L) —
+    uint16 over the wire (limbs are 16-bit)."""
+    spec = enc.spec
+    lf = limb_field(spec)
+    n_rows, n_per_row, n_cols = comm.n_rows, comm.n_per_row, comm.n_cols
+    ops = enc.device_operands()
+    idx = jnp.asarray(cols_to_open, jnp.int32)
+    batches = _even_row_batches(n_rows, n_cols * lf.L * 4, target_batch_rows)
+
+    def make_fn(rows_b: int):
+        def f(c_rows, col_idx, operands):
+            c_rows = c_rows.astype(jnp.uint32)
+            padded = jnp.zeros((rows_b, n_cols, c_rows.shape[-1]), jnp.uint32)
+            padded = padded.at[:, :n_per_row, :].set(c_rows)
+            e = enc.encode(padded, operands)
+            return jnp.take(e, col_idx, axis=1).astype(jnp.uint16)
+        return f
+
+    parts = []
+    for r0, r1 in batches:
+        fn = _enc_jit(enc, f"open_cols_stream_{r1 - r0}",
+                      lambda: make_fn(r1 - r0))
+        parts.append(np.asarray(fn(comm.coeffs[r0:r1], idx, ops)))
+    return np.concatenate(parts, axis=0).astype(np.uint32)

@@ -132,14 +132,74 @@ def test_streamed_brakedown_matches():
     assert np.array_equal(one.hashes, streamed.hashes)
 
 
-def test_streamed_keep_comm_false():
-    spec = FT63
+def test_streamed_keep_comm_false_prove_verify():
+    """Out-of-core prove: a root-only (keep_comm=False) streamed commitment
+    re-encodes the challenged columns on demand (core/streamed.py
+    open_columns_streamed) and collapses in row batches — the proof must be
+    bit-identical to the one a full commitment produces.  Reference
+    capability matched: lcpc-2d/src/lib.rs:1034-1123 proving at 2^25-2^29
+    where `comm` lives in 256 GB host RAM."""
+    spec = FT255
     rnd = random.Random(9)
-    enc = LigeroEncoding(spec, 4, 16)
-    coeffs = [rnd.randrange(spec.modulus) for _ in range(4 * 256)]
+    n_rows, n_per_row, n_cols = 256, 8, 32
+    enc = LigeroEncoding(spec, n_per_row, n_cols)
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(n_per_row * n_rows)]
     one = commit(coeffs, enc)
-    slim = commit_streamed(coeffs, enc, target_batch_rows=128, keep_comm=False)
+    slim = commit_streamed(coeffs, enc, target_batch_rows=96, keep_comm=False)
     assert np.array_equal(one.hashes, slim.hashes)
     assert slim.comm is None
-    with pytest.raises(Exception, match="no encoded matrix"):
-        prove(slim, [1] * slim.n_rows, enc, Transcript(b"t"))
+    root = slim.get_root().root
+
+    x = rnd.randrange(spec.modulus)
+    inner = [pow(x, i, spec.modulus) for i in range(n_per_row)]
+    outer = [pow(x, n_per_row * i, spec.modulus) for i in range(n_rows)]
+
+    def tr():
+        t = Transcript(b"test transcript")
+        t.append_message(b"polycommit", root)
+        t.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "little"))
+        return t
+
+    # small batches force multi-batch collapse accumulation + column opening
+    import os
+    os.environ["LCPC_STREAM_BATCH_BYTES"] = str(96 * n_cols * 16 * 4)
+    try:
+        slim_proof = prove(slim, outer, enc, tr())
+    finally:
+        del os.environ["LCPC_STREAM_BATCH_BYTES"]
+    full_proof = prove(one, outer, enc, tr())
+    assert slim_proof.p_eval == full_proof.p_eval
+    assert slim_proof.p_random_vec == full_proof.p_random_vec
+    assert [c.col for c in slim_proof.columns] == \
+           [c.col for c in full_proof.columns]
+    assert [c.path for c in slim_proof.columns] == \
+           [c.path for c in full_proof.columns]
+
+    got = verify(root, outer, inner, slim_proof, enc, tr())
+    expect = 0
+    for c in reversed(coeffs):
+        expect = (expect * x + c) % spec.modulus
+    assert got == expect
+
+
+def test_streamed_device_coeffs_packed_uint16():
+    """The bench path: device-resident PACKED uint16 limb coefficients with
+    device_coeffs=True, including a non-multiple length (exercises the
+    uint16 padding branch in _coeffs_to_matrix) and the total_chunks<2
+    one-shot fallback — roots must match the int-list commit."""
+    import jax.numpy as jnp
+
+    from lcpc_proof_of_storage_tpu.fields.field import ints_to_limbs
+
+    spec = FT255
+    rnd = random.Random(33)
+    n_per_row, n_cols = 8, 32
+    for n_rows in (64, 1):              # 1 row -> single chunk fallback
+        length = n_per_row * (n_rows - 1) + max(1, n_per_row - 3)
+        coeffs = [rnd.randrange(spec.modulus) for _ in range(length)]
+        enc = LigeroEncoding(spec, n_per_row, n_cols)
+        one = commit(coeffs, enc)
+        packed = jnp.asarray(ints_to_limbs(coeffs, spec).astype(np.uint16))
+        streamed = commit_streamed(packed, enc, target_batch_rows=32)
+        assert np.array_equal(one.hashes, streamed.hashes)
+        assert np.array_equal(np.asarray(one.comm), streamed.comm)
