@@ -34,17 +34,34 @@ def _find_meta(db: MetadataStore, name_or_ulid: str):
     return meta
 
 
-async def _with_session(args, fn):
+DEFAULT_SERVER = "127.0.0.1:8080"
+
+
+def _resolve_server(args, db: MetadataStore, meta=None) -> str:
+    """--server if given, else the file's stored ClientRecord host
+    (client_record.rs:7-12), else the default address."""
+    if args.server:
+        return args.server
+    if meta is not None:
+        rec = db.get_client_record(meta.id_ulid)
+        if rec is not None and rec.hosted_on.server_ip:
+            return f"{rec.hosted_on.server_ip}:{rec.hosted_on.server_port}"
+    return DEFAULT_SERVER
+
+
+async def _with_session(args, fn, file_arg: str | None = None):
     db = _db(args)
-    session = await ClientSession.connect(args.server, db)
+    meta = _find_meta(db, file_arg) if file_arg is not None else None
+    addr = _resolve_server(args, db, meta)
+    session = await ClientSession.connect(addr, db)
     try:
-        return await fn(session, db)
+        return await fn(session, db, meta)
     finally:
         await session.close()
 
 
 def cmd_upload(args):
-    async def run(session, db):
+    async def run(session, db, _):
         meta = await session.upload_file(
             Path(args.file), args.columns, args.encoded_columns,
             use_chunks=args.chunks)
@@ -55,69 +72,73 @@ def cmd_upload(args):
 
 
 def cmd_download(args):
-    async def run(session, db):
-        meta = _find_meta(db, args.file)
+    async def run(session, db, meta):
         data = await session.download_file(meta)
         out = Path(args.output or meta.filename).name
         Path(out).write_bytes(data)
         print(f"downloaded and verified {len(data)} bytes -> {out}")
-    asyncio.run(_with_session(args, run))
+    asyncio.run(_with_session(args, run, args.file))
 
 
 def cmd_proof(args):
-    async def run(session, db):
-        meta = _find_meta(db, args.file)
+    async def run(session, db, meta):
         await session.request_and_verify_proof(meta)
         print(f"proof verified for {meta.filename} (root {meta.root.hex()[:16]}...)")
         if args.evaluate:
             await session.request_and_verify_polynomial(meta)
             print("polynomial evaluation verified")
-    asyncio.run(_with_session(args, run))
+    asyncio.run(_with_session(args, run, args.file))
 
 
 def cmd_append(args):
-    async def run(session, db):
-        meta = _find_meta(db, args.file)
+    async def run(session, db, meta):
         data = Path(args.data_file).read_bytes() if args.data_file \
             else args.data.encode()
         new_meta = await session.append_to_file(meta, data)
         print(f"append verified; new root {new_meta.root.hex()[:16]}... "
               f"ulid={new_meta.id_ulid}")
-    asyncio.run(_with_session(args, run))
+    asyncio.run(_with_session(args, run, args.file))
 
 
 def cmd_edit(args):
-    async def run(session, db):
-        meta = _find_meta(db, args.file)
+    async def run(session, db, meta):
         data = Path(args.data_file).read_bytes() if args.data_file \
             else args.data.encode()
         new_meta = await session.edit_file(meta, args.start, data)
         print(f"edit verified; new root {new_meta.root.hex()[:16]}... "
               f"ulid={new_meta.id_ulid}")
-    asyncio.run(_with_session(args, run))
+    asyncio.run(_with_session(args, run, args.file))
 
 
 def cmd_reshape(args):
-    async def run(session, db):
-        meta = _find_meta(db, args.file)
+    async def run(session, db, meta):
         new_meta = await session.reshape_file(
             meta, args.columns, args.encoded_columns)
         print(f"reshape verified; dims now "
               f"({new_meta.num_rows},{new_meta.num_columns},"
               f"{new_meta.num_encoded_columns})")
-    asyncio.run(_with_session(args, run))
+    asyncio.run(_with_session(args, run, args.file))
 
 
 def cmd_delete(args):
-    async def run(session, db):
-        meta = _find_meta(db, args.file)
+    async def run(session, db, meta):
         await session.delete_file(meta)
         print(f"deleted {meta.filename}")
-    asyncio.run(_with_session(args, run))
+    asyncio.run(_with_session(args, run, args.file))
 
 
 def cmd_list(args):
     db = _db(args)
+    if args.servers:
+        recs = db.list_client_records()
+        if not recs:
+            print("no stored hosts")
+            return
+        for r in recs:
+            host = r.hosted_on
+            print(f"{r.id_ulid}  {r.metadata.filename:30s} "
+                  f"@ {host.server_ip}:{host.server_port}")
+        return
     rows = db.list_file_metadata(CLIENT_METADATA_TABLE)
     if not rows:
         print("no files known")
@@ -139,8 +160,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="count", default=0,
                    help="increase log verbosity (repeatable)")
     p.add_argument("--db", default="PoR_Database", help="metadata database path")
-    p.add_argument("--server", default="127.0.0.1:8080",
-                   help="server address host:port")
+    p.add_argument("--server", default=None,
+                   help="server address host:port (default: the file's "
+                        "stored host record, else 127.0.0.1:8080)")
     p.add_argument("--platform", default="cpu",
                    help="jax platform (cpu default: the single TPU chip "
                         "can only be claimed by one process)")
@@ -189,6 +211,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_delete)
 
     sp = sub.add_parser("list", aliases=["ls"], help="list known files")
+    sp.add_argument("--servers", action="store_true",
+                    help="list stored host records instead of files")
     sp.set_defaults(fn=cmd_list)
 
     sp = sub.add_parser("server", aliases=["s"], help="run the PoR server")

@@ -51,6 +51,28 @@ class FileMetadata:
         return cls(**obj)
 
 
+@dataclass
+class ClientRecord:
+    """databases/client_record.rs:7-12: the client's record of a file it
+    stored remotely — which server hosts it and the full metadata.  The CLI
+    resolves a file's server address from this record when no --server
+    flag is given."""
+    id_ulid: str
+    hosted_on: ServerHost
+    metadata: FileMetadata
+
+    def to_json(self) -> dict:
+        return {"id_ulid": self.id_ulid,
+                "hosted_on": asdict(self.hosted_on),
+                "metadata": self.metadata.to_json()}
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "ClientRecord":
+        return cls(id_ulid=obj["id_ulid"],
+                   hosted_on=ServerHost(**obj["hosted_on"]),
+                   metadata=FileMetadata.from_json(obj["metadata"]))
+
+
 class MetadataStore:
     """One sqlite file holding all namespaces."""
 
@@ -110,6 +132,21 @@ class MetadataStore:
                 return meta
         return None
 
+    # -- client records (client_record.rs) -----------------------------------
+    def put_client_record(self, record: ClientRecord) -> None:
+        self.create(CLIENT_RECORDS_TABLE, record.id_ulid, record.to_json())
+
+    def get_client_record(self, ulid: str) -> ClientRecord | None:
+        obj = self.select(CLIENT_RECORDS_TABLE, ulid)
+        return ClientRecord.from_json(obj) if obj else None
+
+    def list_client_records(self) -> list[ClientRecord]:
+        return [ClientRecord.from_json(o)
+                for o in self.select_all(CLIENT_RECORDS_TABLE)]
+
+    def delete_client_record(self, ulid: str) -> bool:
+        return self.delete(CLIENT_RECORDS_TABLE, ulid)
+
     # -- users (server.rs:285-309: blake3-hashed passwords) ------------------
     def create_user(self, username: str, password: str) -> bool:
         if self.select("users", username) is not None:
@@ -128,3 +165,4 @@ class MetadataStore:
 SERVER_METADATA_TABLE = "server_metadata"
 CLIENT_METADATA_TABLE = "client_metadata"
 CLIENT_HOSTS_TABLE = "client_hosts"
+CLIENT_RECORDS_TABLE = "client_records"

@@ -22,6 +22,21 @@ from .storage import (
 )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _leftmul_step(spec: FieldSpec):
+    """acc + t^T . rows as one jitted device step (shapes retrace-cached)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..fields.limb import limb_field
+    lf = limb_field(spec)
+    return jax.jit(lambda acc, m, t: lf.add(acc, lf.dot(m, t[:, None, :],
+                                                        axis=0)))
+
+
 class FileHandler:
     def __init__(self, ulid: str, paths: dict[str, Path], spec: FieldSpec,
                  meta: EncodedFileMetadata, tree: MerkleTree):
@@ -230,18 +245,56 @@ class FileHandler:
         return out
 
     def left_multiply_unencoded_matrix_by_vector(self, left: list[int]) -> list[int]:
-        """v = left^T . unencoded matrix (file_handler.rs:614-638)."""
+        """v = left^T . unencoded matrix (file_handler.rs:614-638).
+
+        The reference parallelizes this with rayon; here the raw file is
+        read in row batches and each batch runs one batched limb-field dot
+        on device, folding into a (n_pre, L) accumulator — the same kernel
+        the commit-time collapses use (fields/limb.py dot)."""
         assert len(left) == self.rows_written
-        p = self.spec.modulus
-        result = [0] * self.pre_encoded_size
-        for row in range(self.rows_written):
-            c = left[row]
-            row_limbs = data_bytes_to_limbs_np(self.get_unencoded_row(row), self.spec)
-            from ..fields.field import limbs_to_ints
-            vals = limbs_to_ints(row_limbs)
-            for j, v in enumerate(vals):
-                result[j] = (result[j] + v * c) % p
-        return result
+        import jax.numpy as jnp
+
+        from ..fields.field import ints_to_limbs, limbs_to_ints
+        from ..fields.limb import limb_field
+
+        lf = limb_field(self.spec)
+        n_pre = self.pre_encoded_size
+        t_mat = ints_to_limbs(left, self.spec)            # (rows, L)
+        step = _leftmul_step(self.spec)
+        # ~64 MB of raw bytes per batch keeps the widened dot transient small
+        rows_b = max(1, min(self.rows_written,
+                            (64 << 20) // max(self.row_data_bytes, 1)))
+        acc = lf.zeros((n_pre,))
+        with open(self.paths["raw"], "rb") as f:
+            for r0 in range(0, self.rows_written, rows_b):
+                r1 = min(r0 + rows_b, self.rows_written)
+                f.seek(r0 * self.row_data_bytes)
+                chunk = f.read(min(r1 * self.row_data_bytes,
+                                   self.total_data_bytes)
+                               - r0 * self.row_data_bytes)
+                limbs = data_bytes_to_limbs_np(chunk, self.spec)
+                mat = np.zeros(((r1 - r0) * n_pre, limbs.shape[1]), np.uint32)
+                mat[: limbs.shape[0]] = limbs
+                acc = step(acc, jnp.asarray(mat.reshape(r1 - r0, n_pre, -1)),
+                           jnp.asarray(t_mat[r0:r1]))
+        return limbs_to_ints(np.asarray(acc))
+
+    def verifiable_polynomial_evaluation(self, left: list[int]) -> list[int]:
+        """v = left^T . ENCODED matrix (lcpc_online.rs:454-484) served from
+        the raw file: encode is row-wise linear, so
+        left^T . encode(M) == encode(left^T . M) — one batched left-multiply
+        over the unencoded rows plus a single-row encode, instead of the
+        reference's full re-commit per evaluation request
+        (server.rs:670-683 re-reads + re-encodes the whole file)."""
+        from ..fields.field import ints_to_limbs, limbs_to_ints
+
+        u = self.left_multiply_unencoded_matrix_by_vector(left)
+        mat = np.zeros((1, self.pre_encoded_size, self.spec.num_limbs16),
+                       np.uint32)
+        mat[0] = ints_to_limbs(u, self.spec)
+        enc_row = np.asarray(
+            _encode_batch(self.spec, self.encoded_size)(mat))[0]
+        return limbs_to_ints(enc_row)
 
     def verify_all_files_agree(self) -> None:
         """Exhaustive self-check (file_handler.rs:505-541)."""

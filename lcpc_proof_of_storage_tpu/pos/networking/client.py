@@ -23,7 +23,8 @@ import asyncio
 from pathlib import Path
 
 from ...fields.field import limbs_to_ints
-from ..database import (CLIENT_METADATA_TABLE, FileMetadata, MetadataStore)
+from ..database import (CLIENT_METADATA_TABLE, ClientRecord, FileMetadata,
+                        MetadataStore, ServerHost)
 from .. import online
 from ..online import (FIXED_RANDOM_SEED_CHANGE_LATER, POS_FIELD,
                       VerificationError)
@@ -35,16 +36,19 @@ from ...crypto.chacha import chacha8_rng_from_u64
 class ClientSession:
     """One TCP connection with lockstep request/response."""
 
-    def __init__(self, reader, writer, db: MetadataStore | None = None):
+    def __init__(self, reader, writer, db: MetadataStore | None = None,
+                 server_host: "ServerHost | None" = None):
         self.reader = reader
         self.writer = writer
         self.db = db
+        self.server_host = server_host
 
     @classmethod
     async def connect(cls, server_ip: str, db: MetadataStore | None = None):
         host, port = server_ip.rsplit(":", 1)
         reader, writer = await asyncio.open_connection(host, int(port))
-        return cls(reader, writer, db)
+        return cls(reader, writer, db,
+                   server_host=ServerHost(server_ip=host, server_port=int(port)))
 
     async def close(self):
         self.writer.close()
@@ -61,11 +65,22 @@ class ClientSession:
     def _store(self, meta: FileMetadata):
         if self.db is not None:
             self.db.put_file_metadata(CLIENT_METADATA_TABLE, meta)
+            # ClientRecord (client_record.rs:7-12): remember which server
+            # hosts this file so the CLI can resolve it without --server
+            if self.server_host is not None:
+                self.db.put_client_record(ClientRecord(
+                    id_ulid=meta.id_ulid, hosted_on=self.server_host,
+                    metadata=meta))
 
     def _replace(self, old: FileMetadata, new: FileMetadata):
         if self.db is not None:
             self.db.put_file_metadata(CLIENT_METADATA_TABLE, new)
             self.db.delete(CLIENT_METADATA_TABLE, old.id_ulid)
+            if self.server_host is not None:
+                self.db.put_client_record(ClientRecord(
+                    id_ulid=new.id_ulid, hosted_on=self.server_host,
+                    metadata=new))
+            self.db.delete_client_record(old.id_ulid)
 
     # -- upload (client.rs:51-303) ------------------------------------------
     async def upload_file(self, path: Path, n_pre: int | None = None,
@@ -298,12 +313,28 @@ class ClientSession:
         self._replace(meta, new_meta)
         return new_meta
 
+    # -- encoded column (shared.rs RequestEncodedColumn) ----------------------
+    async def request_encoded_column(self, meta: FileMetadata,
+                                     col: int) -> list[int]:
+        """One column of the server's stored ENCODED file, verified against
+        the committed root via its Merkle leaf digest + path from a proof
+        request (the EncodedColumn reply itself carries no path)."""
+        reply = await self.rpc(shared.request_encoded_column(meta, col))
+        vals = [int(x) for x in reply["col"]]
+        reply = await self.rpc(shared.request_proof(meta, [col]))
+        columns = shared.parse_columns(reply["columns"])
+        online.verify_column_paths(meta.root, [col], columns, POS_FIELD)
+        if columns[0].col != vals:
+            raise VerificationError("encoded column does not match opening")
+        return vals
+
     # -- delete (client.rs:867-913) -----------------------------------------
     async def delete_file(self, meta: FileMetadata) -> None:
         reply = await self.rpc(shared.delete_file(meta))
         assert reply["type"] == "FileDeleted"
         if self.db is not None:
             self.db.delete(CLIENT_METADATA_TABLE, meta.id_ulid)
+            self.db.delete_client_record(meta.id_ulid)
 
 
 def _resolve_dims(data: bytes, n_pre, n_enc):

@@ -4,9 +4,17 @@ Re-creation of proof-of-storage/src/networking/server.rs: request/response
 in lockstep over a length-delimited JSON stream; every handler error turns
 into an ErrorResponse instead of dropping the connection (server.rs:267-277).
 
-Two intentional deviations from reference bugs (documented):
+Files are stored as the FileHandler quadruple (.porraw/.porenc/.portree/
+.meta) written ONCE at upload, and proofs / polynomial evaluations /
+encoded columns are served from the stored encoded file + Merkle tree — the
+reference instead re-reads and re-commits the whole file on every proof
+request (server.rs:670-683), making proof latency linear in file size.
+
+Intentional deviations from reference bugs (documented):
   * chunked upload is fully implemented (reference left todo!() at
     server.rs:456) using the streaming EncodedFileWriter;
+  * RequestEncodedColumn is handled (the reference dispatches it at
+    server.rs:212 but left the handler unimplemented!(), server.rs:639-660);
   * accept/reject file shuffling uses the intended transactional semantics:
     accepted edits/appends keep the NEW file and drop the old; rejected ones
     drop the NEW file (the reference renames/deletes the wrong side,
@@ -17,16 +25,20 @@ from __future__ import annotations
 
 import asyncio
 import traceback
+from collections import OrderedDict
 from pathlib import Path
 
 from ...fields.field import FieldSpec, limbs_to_ints
 from ..database import (FileMetadata, MetadataStore, SERVER_METADATA_TABLE,
                         ServerHost)
+from ..file_handler import FileHandler
 from .. import online
 from ..online import POS_FIELD
 from ..storage import (EncodedFileWriter, ceildiv, data_bytes_to_limbs_np,
                        file_paths, new_ulid)
 from . import shared
+
+MAX_CACHED_HANDLERS = 32
 
 
 class ServerState:
@@ -36,20 +48,62 @@ class ServerState:
                                             if base else "PoR_Database"))
         self.open_files: dict[str, EncodedFileWriter] = {}
         self.open_file_info: dict[str, tuple[str, int, int]] = {}
+        # attached FileHandlers (ulid -> handler), LRU-capped: each holds an
+        # open fd on the encoded file + the in-memory Merkle tree
+        self.handlers: OrderedDict[str, FileHandler] = OrderedDict()
 
 
-def _raw_path(state: ServerState, meta: FileMetadata) -> Path:
-    return file_paths(meta.id_ulid, state.base)["raw"]
+def _handler(state: ServerState, meta: FileMetadata) -> FileHandler:
+    """Attach (cached) the stored quadruple; files uploaded before the
+    quadruple existed (raw only) are encoded once here and served from disk
+    afterwards."""
+    ulid = meta.id_ulid
+    fh = state.handlers.get(ulid)
+    if fh is None:
+        try:
+            fh = FileHandler.attach(ulid, POS_FIELD, base=state.base)
+        except FileNotFoundError:
+            fh = FileHandler.create_from_unencoded_file(
+                ulid, None, meta.num_columns, meta.num_encoded_columns,
+                POS_FIELD, base=state.base)
+        state.handlers[ulid] = fh
+        if len(state.handlers) > MAX_CACHED_HANDLERS:
+            _, old = state.handlers.popitem(last=False)
+            old.reader.close()
+    else:
+        state.handlers.move_to_end(ulid)
+    return fh
+
+
+def _register_handler(state: ServerState, fh: FileHandler) -> None:
+    state.handlers[fh.ulid] = fh
+    if len(state.handlers) > MAX_CACHED_HANDLERS:
+        _, old = state.handlers.popitem(last=False)
+        old.reader.close()
+
+
+def _drop_file(state: ServerState, ulid: str) -> None:
+    """Evict the handler and delete the on-disk quadruple."""
+    fh = state.handlers.pop(ulid, None)
+    if fh is not None:
+        fh.reader.close()
+    for p in file_paths(ulid, state.base).values():
+        if p.exists():
+            p.unlink()
+
+
+def _meta_from_handler(fh: FileHandler, filename: str,
+                       root: bytes) -> FileMetadata:
+    return FileMetadata(
+        id_ulid=fh.ulid, filename=filename, num_rows=fh.rows_written,
+        num_columns=fh.pre_encoded_size,
+        num_encoded_columns=fh.encoded_size,
+        filesize_in_bytes=fh.total_data_bytes, stored_server=ServerHost(),
+        root=root)
 
 
 def _read_raw(state: ServerState, meta: FileMetadata) -> bytes:
-    return _raw_path(state, meta).read_bytes()
-
-
-def _commit_from_meta(state: ServerState, meta: FileMetadata):
-    data = _read_raw(state, meta)
-    return online.commit_file_data(
-        data, meta.num_columns, meta.num_encoded_columns, POS_FIELD), data
+    return file_paths(meta.id_ulid, state.base)["raw"].read_bytes()
 
 
 async def handle_connection(state: ServerState, reader, writer) -> None:
@@ -81,6 +135,7 @@ async def dispatch(state: ServerState, msg: dict) -> dict | None:
         "RequestFileRow": h_request_file_row,
         "EditFileBytes": h_edit_file_bytes,
         "AppendToFile": h_append_to_file,
+        "RequestEncodedColumn": h_request_encoded_column,
         "RequestProof": h_request_proof,
         "RequestPolynomialEvaluation": h_request_poly_eval,
         "RequestFileReshape": h_request_reshape,
@@ -116,19 +171,18 @@ def h_user_login(state, msg):
 
 
 def h_upload_new_file(state, msg):
-    """server.rs:341-413."""
+    """server.rs:341-413 — encode ONCE to the stored quadruple; later proof
+    and evaluation requests are served from it."""
     data = bytes.fromhex(msg["file"])
     n_pre, n_enc = msg["columns"], msg["encoded_columns"]
+    if not data:
+        return shared.error_response("cannot commit an empty file")
     if not online.dims_ok(n_pre, n_enc):
         return shared.error_response("Invalid rows or columns")
-    comm = online.commit_file_data(data, n_pre, n_enc, POS_FIELD)
-    ulid = new_ulid()
-    file_paths(ulid, state.base)["raw"].write_bytes(data)
-    meta = FileMetadata(
-        id_ulid=ulid, filename=msg["filename"], num_rows=comm.n_rows,
-        num_columns=n_pre, num_encoded_columns=n_enc,
-        filesize_in_bytes=len(data), stored_server=ServerHost(),
-        root=comm.get_root().root)
+    fh = FileHandler.create_from_bytes(data, n_pre, n_enc, POS_FIELD,
+                                       base=state.base)
+    _register_handler(state, fh)
+    meta = _meta_from_handler(fh, msg["filename"], fh.get_commit_root())
     state.db.put_file_metadata(SERVER_METADATA_TABLE, meta)
     return shared.compact_commit(meta)
 
@@ -160,7 +214,8 @@ def h_upload_chunk(state, msg):
     writer.push_bytes(chunk)
     if not msg["last_chunk"]:
         return shared.uploading_file_chunk_response(True)
-    # finalize: tree + metadata + db entry + CompactCommit
+    # finalize: tree + metadata + db entry + CompactCommit.  The quadruple
+    # is complete on disk; proof serving attaches to it lazily.
     filename, n_pre, n_enc = state.open_file_info.pop(ulid)
     meta_enc, tree = writer.finalize_to_merkle_tree()
     meta_enc.ulid = ulid
@@ -185,148 +240,151 @@ def h_request_file(state, msg):
 def h_request_file_row(state, msg):
     meta = shared.parse_metadata(msg["file_metadata"])
     row = msg["row"]
-    row_bytes = meta.num_columns * POS_FIELD.data_byte_capacity
-    data = _read_raw(state, meta)
-    return shared.file_row_msg(data[row * row_bytes : (row + 1) * row_bytes])
+    fh = _handler(state, meta)
+    return shared.file_row_msg(fh.get_unencoded_row(row))
 
 
 def h_edit_file_bytes(state, msg):
-    """server.rs:497-565: copy to new ulid, apply edit, commit both kept."""
+    """server.rs:497-565: copy to new ulid, apply edit, both kept until the
+    client's EditOrAppendResponse — the edit re-encodes only the touched
+    rows and re-hashes only the touched chunk CVs (FileHandler.edit_bytes),
+    not the whole file."""
     meta = shared.parse_metadata(msg["file_metadata"])
     start = msg["start_byte"]
     replacement = bytes.fromhex(msg["replacement_bytes"])
-    data = bytearray(_read_raw(state, meta))
-    if start + len(replacement) > len(data):
+    fh_old = _handler(state, meta)
+    if start + len(replacement) > fh_old.total_data_bytes:
         return shared.error_response("edit out of bounds")
-    data[start : start + len(replacement)] = replacement
-    new_id = new_ulid()
-    file_paths(new_id, state.base)["raw"].write_bytes(bytes(data))
-    comm = online.commit_file_data(bytes(data), meta.num_columns,
-                                   meta.num_encoded_columns, POS_FIELD)
-    new_meta = FileMetadata(
-        id_ulid=new_id, filename=meta.filename, num_rows=comm.n_rows,
-        num_columns=meta.num_columns,
-        num_encoded_columns=meta.num_encoded_columns,
-        filesize_in_bytes=len(data), stored_server=meta.stored_server,
-        root=comm.get_root().root)
+    fh_new = fh_old.clone_to_new_ulid(base=state.base)
+    _, tree = fh_new.edit_bytes(start, replacement)
+    _register_handler(state, fh_new)
+    new_meta = _meta_from_handler(fh_new, meta.filename, tree.root())
+    new_meta.stored_server = meta.stored_server
     state.db.put_file_metadata(SERVER_METADATA_TABLE, new_meta)
     return shared.compact_commit(new_meta)
 
 
 def h_append_to_file(state, msg):
-    """server.rs:568-636."""
+    """server.rs:568-636 via incremental append (only the new/partial rows
+    are encoded; chunk-CV cache re-hashes only the changed tail)."""
     meta = shared.parse_metadata(msg["file_metadata"])
     add = bytes.fromhex(msg["append_data"])
-    data = _read_raw(state, meta) + add
-    new_id = new_ulid()
-    file_paths(new_id, state.base)["raw"].write_bytes(data)
-    comm = online.commit_file_data(data, meta.num_columns,
-                                   meta.num_encoded_columns, POS_FIELD)
-    new_meta = FileMetadata(
-        id_ulid=new_id, filename=meta.filename, num_rows=comm.n_rows,
-        num_columns=meta.num_columns,
-        num_encoded_columns=meta.num_encoded_columns,
-        filesize_in_bytes=len(data), stored_server=meta.stored_server,
-        root=comm.get_root().root)
+    fh_old = _handler(state, meta)
+    fh_new = fh_old.clone_to_new_ulid(base=state.base)
+    tree = fh_new.append_bytes(add)
+    _register_handler(state, fh_new)
+    new_meta = _meta_from_handler(fh_new, meta.filename, tree.root())
+    new_meta.stored_server = meta.stored_server
     state.db.put_file_metadata(SERVER_METADATA_TABLE, new_meta)
     return shared.compact_commit(new_meta)
 
 
+def h_request_encoded_column(state, msg):
+    """server.rs:212 dispatch; the reference's handler is unimplemented!()
+    (server.rs:639-660).  Implemented: read one column of the stored
+    encoded file (no re-encode) and return its field values."""
+    meta = shared.parse_metadata(msg["file_metadata"])
+    col = msg["row"]                     # reference names the index `row`
+    fh = _handler(state, meta)
+    if col >= fh.encoded_size:
+        return shared.error_response("column out of range")
+    vals = limbs_to_ints(fh.reader.get_encoded_column_without_path(col))
+    return shared.encoded_column_msg(vals)
+
+
 def h_request_proof(state, msg):
-    """server.rs:652-693: full re-commit, open columns with paths."""
+    """server.rs:652-693 — served from the stored encoded file + Merkle
+    tree (contiguous column reads + stored paths) instead of the
+    reference's full re-commit per request (server.rs:670-683)."""
     meta = shared.parse_metadata(msg["file_metadata"])
     requested = msg["columns_to_verify"]
-    comm, _ = _commit_from_meta(state, meta)
-    columns = online.server_retrieve_columns(comm, requested)
+    fh = _handler(state, meta)
+    columns = fh.read_full_columns(requested)
     return shared.columns_msg(columns)
 
 
 def h_request_poly_eval(state, msg):
-    """server.rs:696-737: v = L^T M with left stride x^(i*n_cols)."""
+    """server.rs:696-737: v = L^T M with left stride x^(i*n_cols), computed
+    as encode(L^T . unencoded rows) — one batched left-multiply plus a
+    single-row encode instead of a full re-commit."""
     meta = shared.parse_metadata(msg["file_metadata"])
     point = int(msg["evaluation_point"])
-    comm, _ = _commit_from_meta(state, meta)
-    left, _ = online.form_side_vectors(point, comm.n_rows, comm.n_cols, POS_FIELD)
-    v = online.verifiable_polynomial_evaluation(comm, left, POS_FIELD)
+    fh = _handler(state, meta)
+    left, _ = online.form_side_vectors(point, fh.rows_written,
+                                       fh.encoded_size, POS_FIELD)
+    v = fh.verifiable_polynomial_evaluation(left)
     return shared.polynomial_evaluation_msg(v)
 
 
 def h_request_reshape(state, msg):
-    """server.rs:794-831: commit the same data at new dims, NEW ulid."""
+    """server.rs:794-831: same data re-encoded at new dims under a NEW
+    ulid; both quadruples kept until the client's ReshapeResponse."""
     meta = shared.parse_metadata(msg["file_metadata"])
     new_pre = msg["new_pre_encoded_columns"]
     new_enc = msg["new_encoded_columns"]
-    data = _read_raw(state, meta)
-    comm = online.commit_file_data(data, new_pre, new_enc, POS_FIELD)
-    new_meta = FileMetadata(
-        id_ulid=new_ulid(), filename=meta.filename, num_rows=comm.n_rows,
-        num_columns=new_pre, num_encoded_columns=new_enc,
-        filesize_in_bytes=meta.filesize_in_bytes,
-        stored_server=meta.stored_server, root=comm.get_root().root)
+    if not online.dims_ok(new_pre, new_enc):
+        return shared.error_response("Invalid rows or columns")
+    fh_old = _handler(state, meta)
+    fh_new = fh_old.clone_to_new_ulid(base=state.base)
+    _, tree = fh_new.reshape(new_pre, new_enc)
+    _register_handler(state, fh_new)
+    new_meta = _meta_from_handler(fh_new, meta.filename, tree.root())
+    new_meta.stored_server = meta.stored_server
     state.db.put_file_metadata(SERVER_METADATA_TABLE, new_meta)
     return shared.compact_commit(new_meta)
 
 
-def _eval_commit(state, meta, point, cols, data=None):
-    if data is None:
-        data = _read_raw(state, meta)
-    comm = online.commit_file_data(
-        data, meta.num_columns, meta.num_encoded_columns, POS_FIELD)
-    left, _ = online.form_side_vectors(point, comm.n_rows, comm.n_per_row, POS_FIELD)
-    v = online.verifiable_polynomial_evaluation(comm, left, POS_FIELD)
-    columns = online.server_retrieve_columns(comm, cols)
-    return comm, v, columns, data
+def _eval_from_handler(state, meta, point, cols):
+    """Evaluation + column openings served from the stored quadruple.
+    Left stride here is x^(i*n_per_row) (the reference's differencing
+    convention, server.rs:963-1055), unlike the plain-eval n_cols stride."""
+    fh = _handler(state, meta)
+    left, _ = online.form_side_vectors(point, fh.rows_written,
+                                       fh.pre_encoded_size, POS_FIELD)
+    v = fh.verifiable_polynomial_evaluation(left)
+    columns = fh.read_full_columns(cols)
+    return fh, v, columns
 
 
 def h_request_reshape_eval(state, msg):
-    """server.rs:834-906: both shapes of the same (old-ulid) data."""
+    """server.rs:834-906: both shapes of the same data."""
     old_meta = shared.parse_metadata(msg["old_file_metadata"])
     new_meta = shared.parse_metadata(msg["new_file_metadata"])
     point = int(msg["evaluation_point"])
+    fh_old, old_v, old_cols = _eval_from_handler(
+        state, old_meta, point, msg["columns_to_expand_original"])
+    _, new_v, new_cols = _eval_from_handler(
+        state, new_meta, point, msg["columns_to_expand_new"])
     data = _read_raw(state, old_meta)
-    _, old_v, old_cols, _ = _eval_commit(
-        state, old_meta, point, msg["columns_to_expand_original"], data)
-    _, new_v, new_cols, _ = _eval_commit(
-        state, new_meta, point, msg["columns_to_expand_new"], data)
     vals = limbs_to_ints(data_bytes_to_limbs_np(data, POS_FIELD))
     expected = online.evaluate_field_polynomial_at_point(vals, point, POS_FIELD)
     return shared.reshape_evaluation_msg(expected, old_v, old_cols, new_v, new_cols)
 
 
-def h_reshape_response(state, msg):
-    """server.rs:909-960 (intended semantics on reject)."""
-    old_meta = shared.parse_metadata(msg["old_file_metadata"])
-    new_meta = shared.parse_metadata(msg["new_file_metadata"])
-    old_raw = file_paths(old_meta.id_ulid, state.base)["raw"]
-    new_raw = file_paths(new_meta.id_ulid, state.base)["raw"]
-    if msg["accepted"]:
-        old_raw.rename(new_raw)
-        state.db.delete(SERVER_METADATA_TABLE, old_meta.id_ulid)
-        result = new_meta
-    else:
-        state.db.delete(SERVER_METADATA_TABLE, new_meta.id_ulid)
-        result = old_meta
-    return shared.compact_commit(result)
-
-
 def h_request_append_eval(state, msg):
-    """server.rs:963-1055, append branch."""
+    """server.rs:963-1055, append branch.  The edited-row values are read
+    as one byte slice of the new raw file instead of converting the whole
+    file to field elements."""
     old_meta = shared.parse_metadata(msg["old_file_metadata"])
     new_meta = shared.parse_metadata(msg["new_file_metadata"])
     point = int(msg["evaluation_point"])
     cols = msg["columns_to_expand"]
-    _, old_v, old_cols, _ = _eval_commit(state, old_meta, point, cols)
-    _, new_v, new_cols, new_data = _eval_commit(state, new_meta, point, cols)
-    new_vals = limbs_to_ints(data_bytes_to_limbs_np(new_data, POS_FIELD))
+    _, old_v, old_cols = _eval_from_handler(state, old_meta, point, cols)
+    fh_new, new_v, new_cols = _eval_from_handler(state, new_meta, point, cols)
+    cap = POS_FIELD.data_byte_capacity
+    n_vals = ceildiv(fh_new.total_data_bytes, cap)
     start = (old_meta.num_rows - 1) * old_meta.num_columns
     if old_meta.num_rows < new_meta.num_rows:
         end = old_meta.num_rows * old_meta.num_columns - 1
     else:
         # reference divides by CAPACITY bits instead of bytes here
         # (server.rs:1040, a bug); use the working bound: the whole last row
-        end = min(len(new_vals), start + old_meta.num_columns) - 1
-    edited_row = new_vals[start : end + 1]
-    return shared.append_evaluation_msg(old_v, old_cols, new_v, new_cols, edited_row)
+        end = min(n_vals, start + old_meta.num_columns) - 1
+    raw_slice = fh_new.get_unencoded_bytes(
+        start * cap, min((end + 1) * cap, fh_new.total_data_bytes))
+    edited_row = limbs_to_ints(data_bytes_to_limbs_np(raw_slice, POS_FIELD))
+    return shared.append_evaluation_msg(old_v, old_cols, new_v, new_cols,
+                                        edited_row[: end - start + 1])
 
 
 def h_request_edit_eval(state, msg):
@@ -336,29 +394,42 @@ def h_request_edit_eval(state, msg):
     point = int(msg["evaluation_point"])
     cols = msg["columns_to_expand"]
     start, finish = msg["requested_unencoded_row_range_inclusive"]
-    _, old_v, old_cols, old_data = _eval_commit(state, old_meta, point, cols)
-    _, new_v, new_cols, _ = _eval_commit(state, new_meta, point, cols)
+    fh_old, old_v, old_cols = _eval_from_handler(state, old_meta, point, cols)
+    _, new_v, new_cols = _eval_from_handler(state, new_meta, point, cols)
     cap = POS_FIELD.data_byte_capacity
     start_b = start * old_meta.num_columns * cap
-    end_b = min((finish + 1) * old_meta.num_columns * cap - 1, len(old_data))
-    original_rows = old_data[start_b : end_b + 1]
+    end_b = min((finish + 1) * old_meta.num_columns * cap - 1,
+                fh_old.total_data_bytes)
+    original_rows = fh_old.get_unencoded_bytes(start_b, end_b + 1)
     return shared.edit_evaluation_msg(old_v, old_cols, new_v, new_cols, original_rows)
+
+
+def h_reshape_response(state, msg):
+    """server.rs:909-960 (intended semantics on reject): the loser's
+    quadruple is dropped, the winner's kept as-is."""
+    old_meta = shared.parse_metadata(msg["old_file_metadata"])
+    new_meta = shared.parse_metadata(msg["new_file_metadata"])
+    if msg["accepted"]:
+        _drop_file(state, old_meta.id_ulid)
+        state.db.delete(SERVER_METADATA_TABLE, old_meta.id_ulid)
+        result = new_meta
+    else:
+        _drop_file(state, new_meta.id_ulid)
+        state.db.delete(SERVER_METADATA_TABLE, new_meta.id_ulid)
+        result = old_meta
+    return shared.compact_commit(result)
 
 
 def h_edit_or_append_response(state, msg):
     """server.rs:1080-1136 with intended transactional semantics."""
     old_meta = shared.parse_metadata(msg["old_file_metadata"])
     new_meta = shared.parse_metadata(msg["new_file_metadata"])
-    old_raw = file_paths(old_meta.id_ulid, state.base)["raw"]
-    new_raw = file_paths(new_meta.id_ulid, state.base)["raw"]
     if msg["accepted"]:
-        if old_raw.exists():
-            old_raw.unlink()
+        _drop_file(state, old_meta.id_ulid)
         state.db.delete(SERVER_METADATA_TABLE, old_meta.id_ulid)
         result = new_meta
     else:
-        if new_raw.exists():
-            new_raw.unlink()
+        _drop_file(state, new_meta.id_ulid)
         state.db.delete(SERVER_METADATA_TABLE, new_meta.id_ulid)
         result = old_meta
     return shared.compact_commit(result)
@@ -367,9 +438,7 @@ def h_edit_or_append_response(state, msg):
 def h_delete_file(state, msg):
     """server.rs:740-791."""
     meta = shared.parse_metadata(msg["file_metadata"])
-    raw = file_paths(meta.id_ulid, state.base)["raw"]
-    if raw.exists():
-        raw.unlink()
+    _drop_file(state, meta.id_ulid)
     state.db.delete(SERVER_METADATA_TABLE, meta.id_ulid)
     return shared.file_deleted(meta.filename)
 

@@ -189,3 +189,68 @@ def test_tall_vs_wide_eval_equivalence(run, tmp_path):
         # reshape_file internally asserts evaluation equality across shapes
 
     run(scenario)
+
+
+def test_request_encoded_column(run, tmp_path):
+    """RequestEncodedColumn round trip (reference dispatches it at
+    server.rs:212 but left the handler unimplemented!()): the returned
+    column must equal the commitment's encoded column, verified against the
+    root via a single-column proof."""
+    path, data = _mkfile(tmp_path, n=2000, seed=11)
+
+    async def scenario(session, db, base):
+        meta = await session.upload_file(path, 8, 32)
+        comm = online.commit_file_data(data, 8, 32)
+        for col in (0, 5, meta.num_encoded_columns - 1):
+            vals = await session.request_encoded_column(meta, col)
+            from lcpc_proof_of_storage_tpu.pos.online import POS_FIELD
+            from lcpc_proof_of_storage_tpu.fields.field import limbs_to_ints
+            import numpy as np
+            expect = limbs_to_ints(np.asarray(comm.comm[:, col, :]))
+            assert vals == expect
+        # out-of-range -> server error
+        with pytest.raises(VerificationError, match="out of range"):
+            await session.request_encoded_column(
+                meta, meta.num_encoded_columns)
+
+    run(scenario)
+
+
+def test_client_record_round_trip(run, tmp_path):
+    """ClientRecord (client_record.rs:7-12): upload stores the hosting
+    server; delete removes it; the CLI's server resolution reads it."""
+    path, data = _mkfile(tmp_path, n=900, seed=12)
+
+    async def scenario(session, db, base):
+        meta = await session.upload_file(path, 8, 32)
+        rec = db.get_client_record(meta.id_ulid)
+        assert rec is not None
+        assert rec.hosted_on.server_ip == "127.0.0.1"
+        assert rec.hosted_on.server_port > 0
+        assert rec.metadata.root == meta.root
+        assert any(r.id_ulid == meta.id_ulid for r in db.list_client_records())
+        await session.delete_file(meta)
+        assert db.get_client_record(meta.id_ulid) is None
+
+    run(scenario)
+
+
+def test_server_files_stored_as_quadruple(run, tmp_path):
+    """Upload writes the full on-disk quadruple once; proofs are then
+    served from the stored encoded file + tree (no re-commit per request)."""
+    path, data = _mkfile(tmp_path, n=2400, seed=13)
+
+    async def scenario(session, db, base):
+        meta = await session.upload_file(path, 8, 32)
+        paths = file_paths(meta.id_ulid, base)
+        for k in ("raw", "enc", "tree", "meta"):
+            assert paths[k].is_file(), k
+        # deleting the RAW file must not break proof serving (columns come
+        # from the stored encoded file)
+        paths["raw"].unlink()
+        await session.request_and_verify_proof(meta)
+        # ...but download (which needs raw) fails cleanly
+        with pytest.raises((VerificationError, ConnectionError)):
+            await session.download_file(meta)
+
+    run(scenario)

@@ -281,3 +281,35 @@ def test_native_column_accumulator_matches_python():
         if nat._native is not None:  # oracle only meaningful when native ran
             ref = blake3(b"\x00" * 32 + data[0].tobytes())
             assert dn[0].astype("<u4").tobytes() == ref
+
+
+def test_file_handler_left_multiply_and_poly_eval(tmp_path):
+    """FileHandler.left_multiply_unencoded_matrix_by_vector (vectorized
+    batched limb dot; reference file_handler.rs:614-638 rayon loop) and
+    verifiable_polynomial_evaluation (encode(L^T M) served from the raw
+    file) must equal the commit-based oracles."""
+    rnd = random.Random(41)
+    data = bytes(rnd.randrange(256) for _ in range(3210))
+    n_pre, n_enc = 8, 32
+    fh = FileHandler.create_from_bytes(data, n_pre, n_enc, SPEC, base=tmp_path)
+    comm = online.commit_file_data(data, n_pre, n_enc, SPEC)
+    assert fh.rows_written == comm.n_rows
+
+    left = [rnd.randrange(SPEC.modulus) for _ in range(comm.n_rows)]
+    # oracle: python-int double loop over the unencoded values
+    vals = [int(x) for x in
+            _limbs_ints(data_bytes_to_limbs_np(data, SPEC))]
+    p = SPEC.modulus
+    expect = [0] * n_pre
+    for r in range(comm.n_rows):
+        for j in range(n_pre):
+            idx = r * n_pre + j
+            if idx < len(vals):
+                expect[j] = (expect[j] + left[r] * vals[idx]) % p
+    assert fh.left_multiply_unencoded_matrix_by_vector(left) == expect
+
+    # encoded-eval equivalence: encode(L^T M) == L^T encode(M)
+    v_disk = fh.verifiable_polynomial_evaluation(left)
+    v_comm = online.verifiable_polynomial_evaluation(comm, left, SPEC)
+    assert v_disk == v_comm
+    fh.delete_all_files()
