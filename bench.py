@@ -19,10 +19,17 @@ import sys
 import time
 
 
-def main() -> None:
-    log2n = int(os.environ.get("LCPC_BENCH_LOG2", "20"))
-    field_name = os.environ.get("LCPC_BENCH_FIELD", "ft255")
-    iters = int(os.environ.get("LCPC_BENCH_ITERS", "3"))
+def run_bench(log2n: int | None = None, field_name: str | None = None,
+              iters: int | None = None) -> dict:
+    """One measured commit point; returns the headline JSON dict.  Callable
+    from a long-lived process (scripts/r3_campaign.py) so a measurement
+    campaign pays the tunnel session warmup once, not per script."""
+    if log2n is None:
+        log2n = int(os.environ.get("LCPC_BENCH_LOG2", "20"))
+    if field_name is None:
+        field_name = os.environ.get("LCPC_BENCH_FIELD", "ft255")
+    if iters is None:
+        iters = int(os.environ.get("LCPC_BENCH_ITERS", "3"))
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lcpc_tpu_xla_cache")
     import jax
@@ -114,12 +121,19 @@ def main() -> None:
     elems_per_s = n / best
     baseline = 3.25e6
     print(f"# commit times: {[round(t, 3) for t in times]}", file=sys.stderr)
-    print(json.dumps({
+    return {
         "metric": f"ligero_commit_elems_per_sec_{spec.name}_2e{log2n}",
         "value": round(elems_per_s, 1),
         "unit": "field-elems/s/chip",
         "vs_baseline": round(elems_per_s / baseline, 3),
-    }))
+        "commit_s": round(best, 4),
+    }
+
+
+def main() -> None:
+    out = run_bench()
+    out.pop("commit_s", None)                     # keep the one-line contract
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -204,7 +204,10 @@ def _enc_jit(enc: LcEncoding, name: str, make_fn):
 def _encode_matrix(coeff_mat: jnp.ndarray, enc: LcEncoding, n_cols: int,
                    operands=None):
     n_rows, n_per_row, L = coeff_mat.shape
-    padded = jnp.zeros((n_rows, n_cols, L), jnp.uint32).at[:, :n_per_row, :].set(coeff_mat)
+    # astype: packed uint16 coefficient matrices widen on device (no-op for
+    # uint32) — the encode kernels assume uint32 limbs
+    padded = jnp.zeros((n_rows, n_cols, L), jnp.uint32).at[:, :n_per_row, :].set(
+        coeff_mat.astype(jnp.uint32))
     return enc.encode(padded, operands)
 
 
@@ -274,6 +277,34 @@ def merkle_path(hashes: np.ndarray, n_cols: int, column: int) -> list[bytes]:
         width //= 2
         col >>= 1
     return path
+
+
+def merkle_paths_batch(hashes: np.ndarray, n_cols: int,
+                       columns: list[int]) -> list[list[bytes]]:
+    """merkle_path for many columns in one vectorized gather.
+
+    Brakedown opens thousands of columns (6593 at SdigCode3/lambda=128), so
+    per-column numpy indexing + digest_to_bytes dominated prove(); here the
+    (k, depth) sibling index matrix is built with integer ops and the
+    digests leave numpy in ONE tobytes pass."""
+    depth = ceil_log2(n_cols)
+    k = len(columns)
+    if depth == 0 or k == 0:
+        return [[] for _ in range(k)]
+    cur = np.asarray(columns, np.int64)
+    width = next_power_of_two(n_cols)
+    offset = 0
+    idxs = np.empty((depth, k), np.int64)
+    for lvl in range(depth):
+        idxs[lvl] = offset + ((cur & ~1) | (~cur & 1))
+        offset += width
+        width //= 2
+        cur >>= 1
+    sibs = np.ascontiguousarray(
+        np.asarray(hashes, dtype="<u4")[idxs.T.reshape(-1)])   # (k*depth, 8)
+    blob = sibs.tobytes()
+    return [[blob[(i * depth + l) * 32 : (i * depth + l + 1) * 32]
+             for l in range(depth)] for i in range(k)]
 
 
 def verify_column_path(column: LcColumn, col_num: int, root: bytes,
@@ -369,12 +400,52 @@ def _fold_path(leaf: bytes, col_num: int, path: list[bytes]) -> bytes:
     return h
 
 
-def _collapse(coeff_mat: jnp.ndarray, tensor: list[int], spec: FieldSpec) -> list[int]:
-    """v = tensor^T . coeffs (lcpc-2d collapse_columns, lib.rs:1126-1154)."""
+def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
+                      paths: list[list[bytes]]) -> list[bytes]:
+    """_fold_path for many columns: one batched blake3 call per LEVEL
+    (native pos_blake3_many) instead of one per (column, level) — the
+    verifier's k x depth fold is 118k hashes for a Brakedown 2^21 proof.
+    Falls back to per-column folds when path lengths differ (malformed
+    proofs; the roots then mismatch exactly as the serial fold decides)."""
+    k = len(col_nums)
+    if k == 0:
+        return []
+    depth = len(paths[0])
+    if any(len(p) != depth for p in paths):
+        return [_fold_path(leaf_bytes[i], col_nums[i], paths[i])
+                for i in range(k)]
+    h = np.frombuffer(b"".join(leaf_bytes), np.uint8).reshape(k, 32)
+    if depth == 0:
+        return [h[i].tobytes() for i in range(k)]
+    sibs = np.frombuffer(
+        b"".join(b"".join(p) for p in paths), np.uint8).reshape(k, depth, 32)
+    cols = np.asarray(col_nums, np.int64)
+    from ..native import blake3_many_native
+    msg = np.empty((k, 64), np.uint8)
+    for lvl in range(depth):
+        even = ((cols >> lvl) & 1) == 0
+        p = sibs[:, lvl]
+        msg[even, :32] = h[even]
+        msg[even, 32:] = p[even]
+        msg[~even, :32] = p[~even]
+        msg[~even, 32:] = h[~even]
+        out = blake3_many_native(msg)
+        if out is None:                       # pure-python fallback
+            from ..crypto.blake3_ref import blake3
+            out = np.frombuffer(
+                b"".join(blake3(msg[i].tobytes()) for i in range(k)),
+                np.uint8).reshape(k, 32)
+        h = out
+    return [h[i].tobytes() for i in range(k)]
+
+
+def _collapse(coeff_mat: jnp.ndarray, tensor: list[int], spec: FieldSpec):
+    """v = tensor^T . coeffs (lcpc-2d collapse_columns, lib.rs:1126-1154).
+    Returns (python ints, (n_per_row, L) limb array)."""
     lf = limb_field(spec)
     t = lf.array(tensor)[:, None, :]            # (n_rows, 1, L)
-    out = _collapse_fn(spec)(coeff_mat, t)
-    return limbs_to_ints(np.asarray(out))
+    out = np.asarray(_collapse_fn(spec)(coeff_mat, t))
+    return limbs_to_ints(out), out
 
 
 @functools.lru_cache(maxsize=None)
@@ -386,25 +457,67 @@ def _collapse2_fn(spec: FieldSpec):
 
 
 def _collapse2(coeff_mat: jnp.ndarray, tensor_a: list[int], tensor_b: list[int],
-               spec: FieldSpec) -> tuple[list[int], list[int]]:
-    """Two collapses against the same matrix in one device round trip."""
+               spec: FieldSpec):
+    """Two collapses against the same matrix in one device round trip.
+    Returns (ints_a, ints_b, limbs_a, limbs_b)."""
     lf = limb_field(spec)
     ta = lf.array(tensor_a)[:, None, :]
     tb = lf.array(tensor_b)[:, None, :]
     out_a, out_b = _collapse2_fn(spec)(coeff_mat, ta, tb)
-    return limbs_to_ints(np.asarray(out_a)), limbs_to_ints(np.asarray(out_b))
+    na, nb = np.asarray(out_a), np.asarray(out_b)
+    return limbs_to_ints(na), limbs_to_ints(nb), na, nb
 
 
-def _append_coeffs(tr: Transcript, label: bytes, vals: list[int], spec: FieldSpec):
-    msgs = b"".join(spec.to_repr(v) for v in vals)
-    tr.append_messages_batch(label, msgs, spec.repr_bytes, len(vals))
+def _append_coeffs(tr: Transcript, label: bytes, vals: list[int],
+                   spec: FieldSpec, limbs: np.ndarray | None = None):
+    """Append a coefficient vector to the transcript (one repr per value).
+
+    With `limbs` ((n, L) uint32, canonical) the repr bytes come straight out
+    of numpy: the LE repr IS the 16-bit limb buffer (BE fields byte-reverse
+    per element) — the per-int to_repr loop cost 0.2 s+ on a Brakedown
+    2^21 proof's 117k-coefficient rows."""
+    if limbs is not None and 2 * limbs.shape[-1] == spec.repr_bytes:
+        le = np.ascontiguousarray(
+            np.asarray(limbs, np.uint32).astype("<u2"))
+        if spec.endianness == "little":
+            msgs = le.tobytes()
+        else:
+            msgs = np.ascontiguousarray(
+                le.view(np.uint8).reshape(len(le), -1)[:, ::-1]).tobytes()
+        n = len(le)
+    else:
+        msgs = b"".join(spec.to_repr(v) for v in vals)
+        n = len(vals)
+    tr.append_messages_batch(label, msgs, spec.repr_bytes, n)
 
 
 def _columns_to_open(tr: Transcript, n_cols: int, n: int) -> list[int]:
+    """Column challenge expansion (lcpc-2d lib.rs:1102-1110), vectorized.
+
+    Consumes the ChaCha stream EXACTLY like the serial widening-multiply
+    rejection sampler (every examined u64 is consumed; an accepted draw ends
+    one sample), so outputs are bit-identical — pinned by the golden proof
+    sha.  Brakedown opens 6593 columns; the serial python loop was ~10 ms+
+    per proof on both sides."""
     key = tr.challenge_bytes(LABEL_CO, 32)
     rng = ChaChaRng(key, 20)
     dist = UniformUsize(0, n_cols)
-    return [dist.sample(rng) for _ in range(n)]
+    if n_cols >= (1 << 32):                     # candidates() precondition
+        return [dist.sample(rng) for _ in range(n)]
+    out: list[int] = []
+    while len(out) < n:
+        need = n - len(out)
+        W = rng.peek_u64_array(need + 8 + need // 8)
+        ok, vals = dist.candidates(W)
+        idx = np.nonzero(ok)[0]
+        if len(idx) >= need:
+            take = idx[:need]
+            out.extend(int(v) for v in vals[take])
+            rng.advance_u64(int(take[-1]) + 1)
+        else:                                   # window exhausted mid-run
+            out.extend(int(v) for v in vals[idx])
+            rng.advance_u64(len(W))
+    return out
 
 
 def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
@@ -424,29 +537,30 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     # transcript evolution (squeeze rand_i -> append p_random_i -> ... ->
     # append p_eval) is unchanged.
     p_random_vec = []
-    p_eval = None
+    p_eval = pe_limbs = None
     for i in range(enc.get_n_degree_tests()):
         rand_tensor = _challenge_tensor(tr, spec, comm.n_rows)
         if i == 0:
             if streamed:
                 from .streamed import collapse_streamed
-                p_random, p_eval = collapse_streamed(
+                (p_random, pr_limbs), (p_eval, pe_limbs) = collapse_streamed(
                     comm, enc, [rand_tensor, outer_tensor])
             else:
-                p_random, p_eval = _collapse2(comm.coeffs, rand_tensor,
-                                              outer_tensor, spec)
+                p_random, p_eval, pr_limbs, pe_limbs = _collapse2(
+                    comm.coeffs, rand_tensor, outer_tensor, spec)
         else:
             if streamed:
                 from .streamed import collapse_streamed
-                p_random, = collapse_streamed(comm, enc, [rand_tensor])
+                (p_random, pr_limbs), = collapse_streamed(
+                    comm, enc, [rand_tensor])
             else:
-                p_random = _collapse(comm.coeffs, rand_tensor, spec)
-        _append_coeffs(tr, LABEL_PR, p_random, spec)
+                p_random, pr_limbs = _collapse(comm.coeffs, rand_tensor, spec)
+        _append_coeffs(tr, LABEL_PR, p_random, spec, limbs=pr_limbs)
         p_random_vec.append(p_random)
 
     if p_eval is None:
-        p_eval = _collapse(comm.coeffs, outer_tensor, spec)
-    _append_coeffs(tr, LABEL_PE, p_eval, spec)
+        p_eval, pe_limbs = _collapse(comm.coeffs, outer_tensor, spec)
+    _append_coeffs(tr, LABEL_PE, p_eval, spec, limbs=pe_limbs)
 
     cols_to_open = _columns_to_open(tr, comm.n_cols, enc.get_n_col_opens())
     # batched column extraction on device (one readback), limbs kept as-is,
@@ -465,9 +579,9 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
         cols_arr = np.asarray(
             gather(comm.comm, jnp.asarray(cols_to_open, jnp.int32))
         ).astype(np.uint32)                                 # (rows, k, L)
+    paths = merkle_paths_batch(comm.hashes, comm.n_cols, cols_to_open)
     columns = [
-        LcColumn(col_limbs=cols_arr[:, i, :], spec=spec,
-                 path=merkle_path(comm.hashes, comm.n_cols, c))
+        LcColumn(col_limbs=cols_arr[:, i, :], spec=spec, path=paths[i])
         for i, c in enumerate(cols_to_open)
     ]
 
@@ -516,13 +630,19 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     if not enc.dims_ok(n_per_row, n_cols):
         raise VerifierError("EncodingDims")
 
+    # limb forms of the proof rows, converted once: used for the transcript
+    # appends (vectorized repr bytes) AND the re-encode row matrix below
+    row_limbs = [ints_to_limbs(v, spec)
+                 for v in proof.p_random_vec + [proof.p_eval]]
+
     rand_tensor_vec = []
     for i in range(enc.get_n_degree_tests()):
         rand_tensor = _challenge_tensor(tr, spec, n_rows)
         rand_tensor_vec.append(rand_tensor)
-        _append_coeffs(tr, LABEL_PR, proof.p_random_vec[i], spec)
+        _append_coeffs(tr, LABEL_PR, proof.p_random_vec[i], spec,
+                       limbs=row_limbs[i])
 
-    _append_coeffs(tr, LABEL_PE, proof.p_eval, spec)
+    _append_coeffs(tr, LABEL_PE, proof.p_eval, spec, limbs=row_limbs[-1])
     cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
 
     cols_np = np.stack([c.col_limbs(spec) for c in proof.columns])  # (k, rows, L)
@@ -552,8 +672,8 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         # challenge squeezes leaves the Fiat-Shamir evolution unchanged
         lfL = lf.L
         rows_mat = np.zeros((n_degree + 1, enc.n_cols, lfL), np.uint16)
-        for i, vals in enumerate(proof.p_random_vec + [proof.p_eval]):
-            rows_mat[i, : len(vals), :] = ints_to_limbs(vals, spec)
+        for i, limbs in enumerate(row_limbs):
+            rows_mat[i, : len(limbs), :] = limbs
         rand_ok_dev, eval_ok_dev, leaves = _verify_checks_fused(enc)(
             jnp.asarray(rows_mat), enc.device_operands(), rand_mats,
             outer_mat, jnp.asarray(cols_np.astype(np.uint16)),
@@ -562,10 +682,12 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         eval_ok_arr = np.asarray(eval_ok_dev)
 
     leaf_bytes = digests_to_bytes(np.asarray(leaves))
+    folded = _fold_paths_batch(leaf_bytes, cols_to_open,
+                               [c.path for c in proof.columns])
     for k, (col_num, column) in enumerate(zip(cols_to_open, proof.columns)):
         rand_ok = all(rand_ok_arr[i][k] for i in range(n_degree))
         eval_ok = bool(eval_ok_arr[k])
-        path_ok = _fold_path(leaf_bytes[k], col_num, column.path) == root
+        path_ok = folded[k] == root
         if not rand_ok:
             raise VerifierError("ColumnDegree", f"column {col_num}")
         if not eval_ok:

@@ -137,8 +137,28 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
             return (comm_b, cvs) if with_comm else cvs
         return f
 
+    # In-flight window: how many batches may be enqueued beyond the one
+    # being synced.  0 = strict per-batch sync (round-2 behavior; the NTT
+    # transients of unbounded in-flight batches OOM HBM).  Host-coeff mode
+    # defaults to 1 so the NEXT batch's host->device upload overlaps the
+    # current batch's encode (uploads dominate through the axon tunnel);
+    # coefficients aren't device-resident there, so the extra batch of
+    # transients has headroom.
+    import os as _os
+    inflight = int(_os.environ.get(
+        "LCPC_STREAM_INFLIGHT", "0" if device_coeffs else "1"))
+
     cv_parts = []
     comm_parts = [] if keep_comm else None
+    pending: list = []
+
+    def _drain_one():
+        h = pending.pop(0)
+        if keep_comm:
+            comm_parts.append(np.asarray(h))
+        else:
+            _ = int(np.asarray(jax.device_get(h[0, 0, 0])))
+
     chunk0 = 0
     for r_start, r_end in batches:
         rows_b = r_end - r_start
@@ -156,16 +176,22 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
                                             keep_comm))
         counters = jnp.arange(chunk0, chunk0 + k, dtype=jnp.uint32)
         if keep_comm:
-            # full readback per batch = natural backpressure
             comm_b, cvs = fn(coeff_mat[r_start:r_end], counters, ops)
-            comm_parts.append(np.asarray(comm_b))
+            try:
+                comm_b.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append(comm_b)
         else:
             cvs = fn(coeff_mat[r_start:r_end], counters, ops)
-            # scalar readback bounds enqueued-but-unexecuted batches (the
-            # NTT transients of many in-flight batches otherwise OOM HBM)
-            _ = int(np.asarray(jax.device_get(cvs[0, 0, 0])))
+            # scalar readback bounds enqueued-but-unexecuted batches
+            pending.append(cvs)
+        while len(pending) > inflight:
+            _drain_one()
         cv_parts.append(cvs)
         chunk0 += k
+    while pending:
+        _drain_one()
     assert chunk0 == total_chunks
 
     finish = _enc_jit(enc, f"streamed_finish_{total_chunks}", lambda: (
@@ -231,7 +257,7 @@ def collapse_streamed(comm: LcCommit, enc: LcEncoding,
                         lambda: make_step(r1 - r0))
         acc = step(acc, comm.coeffs[r0:r1], jnp.asarray(t_mat[:, r0:r1]))
     out = np.asarray(acc)
-    return [limbs_to_ints(out[i]) for i in range(T)]
+    return [(limbs_to_ints(out[i]), out[i]) for i in range(T)]
 
 
 def open_columns_streamed(comm: LcCommit, enc: LcEncoding,

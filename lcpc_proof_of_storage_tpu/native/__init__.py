@@ -284,6 +284,25 @@ def blake3_native(data: bytes) -> bytes | None:
     return bytes(out)
 
 
+def blake3_many_native(msgs) -> "np.ndarray | None":
+    """Hash n equal-length messages; msgs is a C-contiguous (n, msg_len)
+    uint8 array.  Returns (n, 32) uint8 digests, or None without the native
+    lib.  Batch workhorse of the Merkle path fold (core/commit.py
+    _fold_paths_batch) — one ctypes call for the whole level instead of one
+    per column."""
+    lib = native()
+    if lib is None:
+        return None
+    import numpy as np
+    msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+    n, msg_len = msgs.shape
+    out = np.empty((n, 32), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pos_blake3_many(msgs.ctypes.data_as(ctypes.c_char_p), n, msg_len,
+                        out.ctypes.data_as(u8p))
+    return out
+
+
 def chacha_blocks_native(key: bytes, stream: int, counter0: int,
                          nblocks: int, rounds: int) -> bytes | None:
     lib = native()

@@ -9,7 +9,12 @@ the non_commit_benchmarks proof-size accounting
 Run on the real TPU:
   PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/bench_protocol.py
 Env: LCPC_PROTO_LOG2S (comma list, default "20"), LCPC_PROTO_FIELD (ft255),
-LCPC_PROTO_CODE (ligero|brakedown), LCPC_PROTO_ITERS (3).
+LCPC_PROTO_CODE (ligero|brakedown), LCPC_PROTO_ITERS (3),
+LCPC_PROTO_STREAM_MIN (default 25): sizes >= this commit out-of-core
+(commit_streamed keep_comm=False — the encoded matrix at 2^25 ft255 is
+8.5 GB, past HBM headroom next to the NTT transients) and prove via the
+re-encode-on-demand column opening, matching the reference's 2^25-2^29
+pvs envelope (lcpc-2d holds comm in 256 GB host RAM instead).
 
 Prints one JSON line per size:
   {"log2n": N, "commit_s": ..., "prove_s": ..., "verify_s": ...,
@@ -22,12 +27,19 @@ import sys
 import time
 
 
-def main() -> None:
-    log2s = [int(s) for s in
-             os.environ.get("LCPC_PROTO_LOG2S", "20").split(",")]
-    field_name = os.environ.get("LCPC_PROTO_FIELD", "ft255")
-    code = os.environ.get("LCPC_PROTO_CODE", "ligero")
-    iters = int(os.environ.get("LCPC_PROTO_ITERS", "3"))
+def run_protocol(log2s=None, field_name=None, code=None, iters=None,
+                 stream_min=None, emit=print) -> list[dict]:
+    """Measure commit/prove/verify at each size; returns the JSON dicts.
+    Callable from a long-lived campaign process (scripts/r3_campaign.py)."""
+    if log2s is None:
+        log2s = [int(s) for s in
+                 os.environ.get("LCPC_PROTO_LOG2S", "20").split(",")]
+    if field_name is None:
+        field_name = os.environ.get("LCPC_PROTO_FIELD", "ft255")
+    if code is None:
+        code = os.environ.get("LCPC_PROTO_CODE", "ligero")
+    if iters is None:
+        iters = int(os.environ.get("LCPC_PROTO_ITERS", "3"))
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lcpc_tpu_xla_cache")
     import jax
@@ -57,14 +69,32 @@ def main() -> None:
     _ = int(jnp.arange(4).sum())
     print(f"# warmup readback {time.time()-t0:.1f}s", file=sys.stderr)
 
+    from lcpc_proof_of_storage_tpu.core.streamed import commit_streamed
+    if stream_min is None:
+        stream_min = int(os.environ.get("LCPC_PROTO_STREAM_MIN", "25"))
+
+    results = []
     rnd = np.random.default_rng(0)
     for log2n in log2s:
         n = 1 << log2n
         enc = make_enc(n)
-        # random coefficients below 2^63 (valid for every field)
-        coeffs = [int(x) for x in rnd.integers(0, 1 << 62, size=n, dtype=np.int64)]
+        streamed = log2n >= stream_min
+        # Coefficients live as a device limb array BEFORE the clock starts:
+        # the reference commits from a Vec<FieldElem> already in memory
+        # (benches feed ff elements, not parsed ints), so python-int
+        # conversion / host->device upload is not part of its commit either.
+        # Packed uint16 limbs, top limb zero => canonical (< 2^(16(L-1))).
+        L = spec.num_limbs16
+        coeffs16 = rnd.integers(0, 1 << 16, size=(n, L)).astype(np.uint16)
+        coeffs16[:, -1] = 0
+        dev_coeffs = jax.block_until_ready(jnp.asarray(coeffs16))
+        if streamed:
+            do_commit = lambda: commit_streamed(dev_coeffs, enc,
+                                                keep_comm=False)
+        else:
+            do_commit = lambda: commit(dev_coeffs, enc)
         x = 0x1234567
-        comm = commit(coeffs, enc)          # compile
+        comm = do_commit()                  # compile
         root = comm.get_root().root
         inner = [1] * comm.n_per_row
         cur = 1
@@ -91,7 +121,7 @@ def main() -> None:
         tc, tp, tv = [], [], []
         for _ in range(iters):
             t0 = time.time()
-            comm = commit(coeffs, enc)
+            comm = do_commit()
             _ = comm.get_root().root            # forces full readback
             tc.append(time.time() - t0)
             t0 = time.time()
@@ -108,14 +138,21 @@ def main() -> None:
         col_bytes = sum(
             len(c.col) * spec.repr_bytes for c in proof.columns)
         path_bytes = sum(32 * len(c.path) for c in proof.columns)
-        print(json.dumps({
+        row = {
             "log2n": log2n, "code": code, "field": field_name,
             "commit_s": round(min(tc), 4), "prove_s": round(min(tp), 4),
             "verify_s": round(min(tv), 4), "proof_bytes": len(blob),
             "column_bytes": col_bytes, "path_bytes": path_bytes,
             "n_col_opens": len(proof.columns),
             "dims": [comm.n_rows, comm.n_per_row, comm.n_cols],
-        }))
+        }
+        results.append(row)
+        emit(json.dumps(row))
+    return results
+
+
+def main() -> None:
+    run_protocol()
 
 
 if __name__ == "__main__":

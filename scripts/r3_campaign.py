@@ -1,0 +1,222 @@
+"""Round-3 TPU measurement campaign in ONE process.
+
+The axon tunnel currently costs ~15 min of session warmup per PROCESS
+(backend init + first readback), so the per-script queue
+(run_measurement_queue.sh) pays hours of pure overhead.  This driver runs
+every campaign item inside one process, guards each with try/except, and
+appends results incrementally to RESULTS (JSON lines) so a tunnel death
+mid-campaign loses nothing already measured.
+
+Usage:  PYTHONPATH=/root/repo python scripts/r3_campaign.py [items...]
+        (default: all items in priority order)
+Results: /tmp/lcpc_r3_measure/campaign.jsonl (+ stdout log)
+"""
+
+import gc
+import json
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lcpc_tpu_xla_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+RESULTS = os.environ.get("LCPC_CAMPAIGN_OUT",
+                         "/tmp/lcpc_r3_measure/campaign.jsonl")
+
+
+def emit(obj) -> None:
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(obj) + "\n")
+    print("RESULT", json.dumps(obj), flush=True)
+
+
+def item(name):
+    def deco(fn):
+        ITEMS[name] = fn
+        return fn
+    return deco
+
+
+ITEMS: dict = {}
+
+
+@item("validate")
+def _validate():
+    """Kernel + packed-expander equality vs XLA oracles (exits nonzero on
+    mismatch -> re-raise so the campaign records the failure loudly)."""
+    import tpu_validate_bench
+    sys.argv = ["tpu_validate_bench.py", "18"]
+    tpu_validate_bench.main()
+    emit({"item": "validate", "ok": True})
+
+
+@item("proto_ligero")
+def _proto_ligero():
+    from bench_protocol import run_protocol
+    rows = run_protocol(log2s=[20, 21], iters=3)
+    for r in rows:
+        emit({"item": "proto_ligero", **r})
+
+
+@item("bench20")
+def _bench20():
+    import bench
+    emit({"item": "bench20", **bench.run_bench(20, "ft255", 3)})
+
+
+@item("brakedown21")
+def _brakedown21():
+    from bench_protocol import run_protocol
+    rows = run_protocol(log2s=[21], code="brakedown", iters=2)
+    for r in rows:
+        emit({"item": "brakedown21", **r})
+
+
+@item("bench24")
+def _bench24():
+    import bench
+    emit({"item": "bench24", **bench.run_bench(24, "ft255", 2)})
+
+
+@item("bench25")
+def _bench25():
+    import bench
+    emit({"item": "bench25", **bench.run_bench(25, "ft255", 2)})
+
+
+@item("bench26")
+def _bench26():
+    import bench
+    emit({"item": "bench26", **bench.run_bench(26, "ft255", 2)})
+
+
+@item("brakedown25")
+def _brakedown25():
+    from bench_protocol import run_protocol
+    rows = run_protocol(log2s=[25], code="brakedown", iters=2)
+    for r in rows:
+        emit({"item": "brakedown25", **r})
+
+
+@item("proto_ligero25")
+def _proto_ligero25():
+    from bench_protocol import run_protocol
+    rows = run_protocol(log2s=[25], iters=2)
+    for r in rows:
+        emit({"item": "proto_ligero25", **r})
+
+
+@item("tunnel_probe")
+def _tunnel_probe():
+    """Measure the axon tunnel's host->device / device->host bandwidth and
+    dispatch latency so BENCH_SUMMARY can separate framework cost from
+    tunnel artifacts (prove/verify are transfer-bound through the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev = jax.jit(lambda v: v + 1)
+    tiny = jnp.zeros(8, jnp.uint32)
+    _ = int(np.asarray(dev(tiny))[0])
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        _ = int(np.asarray(dev(tiny))[0])
+    lat = (time.time() - t0) / reps
+    out = {"item": "tunnel_probe", "dispatch_roundtrip_s": round(lat, 4)}
+    for mb in (4, 32, 128):
+        a = np.random.default_rng(0).integers(
+            0, 255, mb << 20, dtype=np.uint8)
+        t0 = time.time()
+        d = jnp.asarray(a)
+        _ = int(np.asarray(dev(d[:8].astype(jnp.uint32)))[0])  # force upload
+        up = time.time() - t0
+        t0 = time.time()
+        _ = np.asarray(d)
+        down = time.time() - t0
+        out[f"up_MBps_{mb}"] = round(mb / max(up - lat, 1e-9), 1)
+        out[f"down_MBps_{mb}"] = round(mb / max(down, 1e-9), 1)
+        del d
+    emit(out)
+
+
+@item("mxu_probe")
+def _mxu_probe():
+    import microbench_mxu
+    microbench_mxu.main()
+    emit({"item": "mxu_probe", "ok": True, "note": "see stdout log"})
+
+
+@item("bench27")
+def _bench27():
+    import bench
+    emit({"item": "bench27", **bench.run_bench(27, "ft255", 2)})
+
+
+@item("profile_proto")
+def _profile_proto():
+    import profile_protocol
+    sys.argv = ["profile_protocol.py", "20"]
+    profile_protocol.main()
+    emit({"item": "profile_proto", "ok": True, "note": "see stdout log"})
+
+
+DEFAULT_ORDER = [
+    "validate", "proto_ligero", "bench20", "brakedown21", "bench24",
+    "bench25", "bench26", "brakedown25", "proto_ligero25", "mxu_probe",
+    "bench27", "profile_proto",
+]
+
+
+def main() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    names = sys.argv[1:] or DEFAULT_ORDER
+    t0 = time.time()
+    print(f"# campaign start {time.ctime()}; items: {names}", flush=True)
+    _ = int(jnp.arange(4).sum())
+    print(f"# session warmup: {time.time()-t0:.0f}s on {jax.devices()[0]}",
+          flush=True)
+
+    done = set()
+    if os.path.exists(RESULTS):                  # resume: skip finished items
+        for line in open(RESULTS):
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if row.get("done"):
+                done.add(row["item"])
+
+    for name in names:
+        if name in done:
+            print(f"### {name} already done, skip", flush=True)
+            continue
+        t = time.time()
+        print(f"\n### {name} start {time.ctime()}", flush=True)
+        try:
+            ITEMS[name]()
+            status = "ok"
+            emit({"item": name, "done": True,
+                  "secs": round(time.time() - t, 1)})
+        except BaseException as e:              # incl. SystemExit from validate
+            status = f"FAIL {type(e).__name__}: {e}"
+            traceback.print_exc()
+            emit({"item": name, "error": str(e)})
+        gc.collect()
+        print(f"### {name} {status} in {time.time()-t:.0f}s", flush=True)
+
+    print(f"\n# campaign done in {(time.time()-t0)/60:.1f} min", flush=True)
+
+
+if __name__ == "__main__":
+    main()
