@@ -81,14 +81,14 @@ def run_bench(log2n: int | None = None, field_name: str | None = None,
             def run():
                 c = commit_streamed(coeff_flat, enc, keep_comm=False,
                                     device_coeffs=False)
-                return int(c.hashes[-1][0])
+                return c.get_root().root[0]          # 32-B root readback only
         else:
             coeff_mat = jnp.asarray(
                 coeff.astype(np.uint16).reshape(n_rows * n_per_row, L))
 
             def run():
                 c = commit_streamed(coeff_mat, enc, keep_comm=False)
-                return int(c.hashes[-1][0])
+                return c.get_root().root[0]          # 32-B root readback only
     else:
         from lcpc_proof_of_storage_tpu.core.commit import merkle_tree_device
         coeff_mat = jnp.asarray(coeff)

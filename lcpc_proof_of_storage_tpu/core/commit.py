@@ -109,23 +109,57 @@ class LcRoot:
     root: bytes
 
 
-@dataclass
 class LcCommit:
     """Commitment state (lcpc-2d/src/lib.rs:174-191).
 
     coeffs/comm are device limb arrays shaped (n_rows, n_per_row|n_cols, L);
     hashes is the Merkle array of 2*np2(n_cols)-1 digests as (n, 8) uint32
     words (leaves first, then layers, root last — reference layout).
+
+    The Merkle array may be constructed DEVICE-resident (hashes_dev): the
+    full array is 16.8 MB at Brakedown 2^21 and reading it back inside
+    commit() cost ~0.5 s through the ~22 MB/s axon tunnel.  get_root()
+    reads back only the root row; an async device->host copy is started at
+    construction so the `.hashes` property (prove paths, serde, PoS leaf
+    digests) materializes from an overlapped transfer, not a cold one.
     """
-    coeffs: jnp.ndarray
-    comm: jnp.ndarray
-    n_rows: int
-    n_cols: int
-    n_per_row: int
-    hashes: np.ndarray
+
+    def __init__(self, coeffs, comm, n_rows: int, n_cols: int,
+                 n_per_row: int, hashes=None, hashes_dev=None):
+        assert hashes is not None or hashes_dev is not None
+        self.coeffs = coeffs
+        self.comm = comm
+        self.n_rows = n_rows
+        self.n_cols = n_cols
+        self.n_per_row = n_per_row
+        self._hashes_np = None if hashes is None else np.asarray(hashes)
+        self._hashes_dev = hashes_dev
+        if hashes_dev is not None and self._hashes_np is None:
+            try:
+                hashes_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    @property
+    def hashes(self) -> np.ndarray:
+        if self._hashes_np is None:
+            self._hashes_np = np.asarray(self._hashes_dev)
+        return self._hashes_np
+
+    @hashes.setter
+    def hashes(self, value) -> None:
+        self._hashes_np = np.asarray(value)
+        self._hashes_dev = None
+
+    @property
+    def hashes_len(self) -> int:
+        h = self._hashes_np if self._hashes_np is not None else self._hashes_dev
+        return h.shape[0]
 
     def get_root(self) -> LcRoot:
-        return LcRoot(digest_to_bytes(self.hashes[-1]))
+        if self._hashes_np is None:
+            return LcRoot(digest_to_bytes(np.asarray(self._hashes_dev[-1])))
+        return LcRoot(digest_to_bytes(self._hashes_np[-1]))
 
     def get_n_per_row(self) -> int:
         return self.n_per_row
@@ -231,9 +265,8 @@ def commit(coeffs, enc: LcEncoding) -> LcCommit:
                         hash_columns(comm, enc.spec), n_cols)))
                     (_encode_matrix(cm, enc, n_cols, ops)))))
     comm, hashes_dev = pipeline(coeff_mat, enc.device_operands())
-    hashes = np.asarray(hashes_dev)
     return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
-                    n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)
+                    n_cols=n_cols, n_per_row=n_per_row, hashes_dev=hashes_dev)
 
 
 def check_comm(comm: LcCommit, enc: LcEncoding) -> None:
@@ -243,7 +276,7 @@ def check_comm(comm: LcCommit, enc: LcEncoding) -> None:
     ok = ((comm.comm is None
            or comm.comm.shape[:2] == (comm.n_rows, comm.n_cols))
           and comm.coeffs.shape[:2] == (comm.n_rows, comm.n_per_row)
-          and comm.hashes.shape[0] == 2 * next_power_of_two(comm.n_cols) - 1
+          and comm.hashes_len == 2 * next_power_of_two(comm.n_cols) - 1
           and enc.dims_ok(comm.n_per_row, comm.n_cols))
     if not ok:
         raise ProverError("inconsistent commitment fields")
@@ -279,18 +312,11 @@ def merkle_path(hashes: np.ndarray, n_cols: int, column: int) -> list[bytes]:
     return path
 
 
-def merkle_paths_batch(hashes: np.ndarray, n_cols: int,
-                       columns: list[int]) -> list[list[bytes]]:
-    """merkle_path for many columns in one vectorized gather.
-
-    Brakedown opens thousands of columns (6593 at SdigCode3/lambda=128), so
-    per-column numpy indexing + digest_to_bytes dominated prove(); here the
-    (k, depth) sibling index matrix is built with integer ops and the
-    digests leave numpy in ONE tobytes pass."""
+def _path_indices(n_cols: int, columns: list[int]) -> np.ndarray:
+    """(k*depth,) flat Merkle-array indices of every column's sibling path
+    (row-major per column, leaf level upward)."""
     depth = ceil_log2(n_cols)
     k = len(columns)
-    if depth == 0 or k == 0:
-        return [[] for _ in range(k)]
     cur = np.asarray(columns, np.int64)
     width = next_power_of_two(n_cols)
     offset = 0
@@ -300,11 +326,38 @@ def merkle_paths_batch(hashes: np.ndarray, n_cols: int,
         offset += width
         width //= 2
         cur >>= 1
-    sibs = np.ascontiguousarray(
-        np.asarray(hashes, dtype="<u4")[idxs.T.reshape(-1)])   # (k*depth, 8)
-    blob = sibs.tobytes()
+    return idxs.T.reshape(-1)
+
+
+def _paths_from_sibs(sibs: np.ndarray, k: int, depth: int) -> list[list[bytes]]:
+    """(k*depth, 8) uint32 sibling digests -> per-column byte paths in ONE
+    tobytes pass."""
+    blob = np.ascontiguousarray(sibs.astype("<u4", copy=False)).tobytes()
     return [[blob[(i * depth + l) * 32 : (i * depth + l + 1) * 32]
              for l in range(depth)] for i in range(k)]
+
+
+def merkle_paths_batch(comm: "LcCommit", columns: list[int],
+                       enc: LcEncoding | None = None) -> list[list[bytes]]:
+    """merkle_path for many columns in one vectorized gather.
+
+    Brakedown opens thousands of columns (6593 at SdigCode3/lambda=128), so
+    per-column numpy indexing + digest_to_bytes dominated prove().  When the
+    Merkle array is device-resident, the sibling digests are gathered ON
+    DEVICE and only (k*depth, 8) words read back (3.8 MB for a Brakedown
+    2^21 proof vs 16.8 MB for the full array)."""
+    n_cols = comm.n_cols
+    depth = ceil_log2(n_cols)
+    k = len(columns)
+    if depth == 0 or k == 0:
+        return [[] for _ in range(k)]
+    flat = _path_indices(n_cols, columns)
+    if comm._hashes_np is None:
+        sibs = np.asarray(jnp.take(comm._hashes_dev,
+                                   jnp.asarray(flat, jnp.int32), axis=0))
+    else:
+        sibs = np.asarray(comm._hashes_np, dtype="<u4")[flat]
+    return _paths_from_sibs(sibs, k, depth)
 
 
 def verify_column_path(column: LcColumn, col_num: int, root: bytes,
@@ -334,9 +387,12 @@ import functools
 @functools.lru_cache(maxsize=None)
 def _collapse_fn(spec: FieldSpec):
     lf = limb_field(spec)
-    # astype: a host-mode streamed commit stores coeffs as uint16 (16-bit
-    # limbs); widen on device (no-op for uint32 inputs)
-    return jax.jit(lambda c, tt: lf.dot(c.astype(jnp.uint32), tt, axis=0))
+    # astype in: a host-mode streamed commit stores coeffs as uint16 (16-bit
+    # limbs); widen on device (no-op for uint32 inputs).  astype out: the
+    # dot returns canonical 16-bit limbs — ship uint16 (halves the
+    # device->host readback; the tunnel reads back at ~22 MB/s)
+    return jax.jit(lambda c, tt: lf.dot(
+        c.astype(jnp.uint32), tt, axis=0).astype(jnp.uint16))
 
 
 @functools.lru_cache(maxsize=None)
@@ -370,9 +426,14 @@ def _verify_checks_fused(enc: LcEncoding):
 
     def make():
         def f(rows_mat, ops, rand_mats, outer_mat, cols_mat, col_idx):
-            # rows/cols arrive as uint16 (limbs are 16-bit): half the
-            # host->device transfer; widen on device
-            rows_mat = rows_mat.astype(jnp.uint32)
+            # rows/cols arrive as uint16 (limbs are 16-bit) and rows at
+            # n_per_row width (the codeword tail is structurally zero):
+            # 8x less host->device transfer than uint32 x n_cols; widen
+            # and zero-pad on device
+            rows16 = rows_mat
+            rows_mat = jnp.zeros(
+                (rows16.shape[0], enc.n_cols, rows16.shape[-1]), jnp.uint32
+            ).at[:, : rows16.shape[1], :].set(rows16.astype(jnp.uint32))
             cols_mat = cols_mat.astype(jnp.uint32)
             fft = enc.encode(rows_mat, ops)                  # (ndt+1, n_cols, L)
             sel = jnp.take(fft, col_idx, axis=1)             # (ndt+1, k, L)
@@ -452,7 +513,8 @@ def _collapse(coeff_mat: jnp.ndarray, tensor: list[int], spec: FieldSpec):
 def _collapse2_fn(spec: FieldSpec):
     lf = limb_field(spec)
     return jax.jit(lambda c, ta, tb: (
-        lambda cw: (lf.dot(cw, ta, axis=0), lf.dot(cw, tb, axis=0))
+        lambda cw: (lf.dot(cw, ta, axis=0).astype(jnp.uint16),
+                    lf.dot(cw, tb, axis=0).astype(jnp.uint16))
     )(c.astype(jnp.uint32)))
 
 
@@ -563,23 +625,37 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     _append_coeffs(tr, LABEL_PE, p_eval, spec, limbs=pe_limbs)
 
     cols_to_open = _columns_to_open(tr, comm.n_cols, enc.get_n_col_opens())
-    # batched column extraction on device (one readback), limbs kept as-is,
-    # paths folded from the host-resident Merkle array.  A streamed commit
-    # keeps comm in host RAM (np.ndarray) — gather there instead.
+    # batched column extraction on device (one readback), limbs kept as-is.
+    # A streamed commit keeps comm in host RAM (np.ndarray) or re-encodes
+    # on demand; a one-shot commit gathers columns AND sibling paths from
+    # the device-resident arrays in ONE fused call (uint16 columns: limbs
+    # are 16-bit, half the device->host transfer).
+    paths = None
     if streamed:
         from .streamed import open_columns_streamed
         cols_arr = open_columns_streamed(comm, enc, cols_to_open)
     elif isinstance(comm.comm, np.ndarray):
         cols_arr = comm.comm[:, np.asarray(cols_to_open), :]
+    elif comm._hashes_np is None:
+        depth = ceil_log2(comm.n_cols)
+        gather = _enc_jit(enc, "prove_gather_paths", lambda: (
+            lambda c, h, cidx, pidx: (
+                jnp.take(c, cidx, axis=1).astype(jnp.uint16),
+                jnp.take(h, pidx, axis=0))))
+        cols16, sibs = gather(
+            comm.comm, comm._hashes_dev,
+            jnp.asarray(cols_to_open, jnp.int32),
+            jnp.asarray(_path_indices(comm.n_cols, cols_to_open), jnp.int32))
+        cols_arr = np.asarray(cols16).astype(np.uint32)     # (rows, k, L)
+        paths = _paths_from_sibs(np.asarray(sibs), len(cols_to_open), depth)
     else:
-        # gather + narrow to uint16 on device: limbs are 16-bit, so this
-        # halves the device->host proof-column transfer
         gather = _enc_jit(enc, "prove_gather", lambda: (
             lambda c, idx: jnp.take(c, idx, axis=1).astype(jnp.uint16)))
         cols_arr = np.asarray(
             gather(comm.comm, jnp.asarray(cols_to_open, jnp.int32))
         ).astype(np.uint32)                                 # (rows, k, L)
-    paths = merkle_paths_batch(comm.hashes, comm.n_cols, cols_to_open)
+    if paths is None:
+        paths = merkle_paths_batch(comm, cols_to_open)
     columns = [
         LcColumn(col_limbs=cols_arr[:, i, :], spec=spec, path=paths[i])
         for i, c in enumerate(cols_to_open)
@@ -671,7 +747,7 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         # the encodes never touch the transcript, so hoisting them below the
         # challenge squeezes leaves the Fiat-Shamir evolution unchanged
         lfL = lf.L
-        rows_mat = np.zeros((n_degree + 1, enc.n_cols, lfL), np.uint16)
+        rows_mat = np.zeros((n_degree + 1, n_per_row, lfL), np.uint16)
         for i, limbs in enumerate(row_limbs):
             rows_mat[i, : len(limbs), :] = limbs
         rand_ok_dev, eval_ok_dev, leaves = _verify_checks_fused(enc)(

@@ -197,11 +197,11 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
     finish = _enc_jit(enc, f"streamed_finish_{total_chunks}", lambda: (
         lambda parts: merkle_tree_device(
             merge_chunk_cvs(jnp.concatenate(parts, axis=1)), n_cols)))
-    hashes = np.asarray(finish(cv_parts))
+    hashes_dev = finish(cv_parts)
 
     comm = np.concatenate(comm_parts, axis=0) if keep_comm else None
     return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
-                    n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)
+                    n_cols=n_cols, n_per_row=n_per_row, hashes_dev=hashes_dev)
 
 
 # --------------------------------------------------------------------------

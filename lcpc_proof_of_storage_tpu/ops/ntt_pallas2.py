@@ -356,6 +356,236 @@ def _large_pair_call(spec: FieldSpec, n: int, half: int, batch: int):
 
 
 # ---------------------------------------------------------------------------
+# four-step (single chip): n = n1*n2, two VMEM-resident sub-NTT passes
+# ---------------------------------------------------------------------------
+#
+# The large-stage path above pays one full HBM round trip PER STAGE with
+# half >= T (8 passes at n = 2^18).  The four-step factorization
+# (j = j1 + n1*j2, k = k2 + n2*k1; same math as parallel/cross_chip_ntt.py:9)
+#     X[k2 + n2*k1] = NTT_n1^{j1->k1}( w_n^{j1*k2} * NTT_n2^{j2->k2}(x) )
+# runs as: one lane permutation (grouping + per-group bit-reverse), one
+# in-tile pass of packed n2-point sub-NTTs, a second permutation, one
+# in-tile pass of n1-point sub-NTTs with the diagonal twiddle w_n^{j1*k2}
+# fused as a generic limb-multiply prologue, and a final natural-order
+# permutation — ~5 HBM round trips total.  Packed sub-NTTs fall out of the
+# existing kernel for free: on bit-reversed input, stages 0..log2(m)-1 of a
+# length-T NTT ARE independent m-point NTTs on aligned lane groups, and the
+# stage-s twiddle w_{2^(s+1)}^(t mod 2^s) is independent of the transform
+# length (nth_root_of_unity is 2-adically consistent: w_m == w_n^(n/m)).
+#
+# Forward only (the decode path keeps the stage pipeline); applies for
+# _TILE2 < n <= _TILE2^2; enable with LCPC_NTT_FOURSTEP=1.
+
+
+def _gmul_block(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Generic a*b mod p for (L, T) canonical limb blocks: full convolution
+    + the m=2L truncated Barrett (fields/limb.py:152-168 semantics)."""
+    L = spec.num_limbs16
+    T = a.shape[1]
+    mu_np, p_np, mu_len = _field_consts_np(spec)
+    z = _carry_prop(_conv_acc(a, b, 2 * L + 1), 2 * L)
+    q1 = z[L - 1 :]                                          # (L+1, T)
+    q_wide = _carry_prop(_conv_acc(q1, _const_block(mu_np, T),
+                                   L + 1 + mu_len + 1), L + 1 + mu_len)
+    q = q_wide[L + 1 :]
+    qp = _carry_prop(_conv_acc(q, _const_block(p_np, T), L + 2), L + 1)
+    r, _ = _sub_block(z[: L + 1], qp)                        # r < 4p exact
+    p_pad = _const_block(p_np, T, rows=L + 1)
+    r = _cond_sub_p(r, p_pad)
+    r = _cond_sub_p(r, p_pad)
+    r = _cond_sub_p(r, p_pad)
+    return r[:L]
+
+
+def _stages_kernel_in_tile_mul(spec: FieldSpec, halves: tuple):
+    """_stages_kernel_in_tile with a generic-multiply prologue: x *= tw
+    (per-lane twiddle VALUES, (L, T) tile) before the butterfly stages —
+    fuses the four-step's diagonal twiddle into the second sub-NTT pass."""
+    L = spec.num_limbs16
+    inner = _stages_kernel_in_tile(spec, halves)
+
+    def kernel(x_ref, tw_ref, w_ref, lo_ref, out_ref):
+        x = _gmul_block(x_ref[0], tw_ref[:], spec)
+
+        class _Box:
+            shape = None
+
+            def __init__(self, v):
+                self._v = v
+
+            def __getitem__(self, i):
+                return self._v
+
+        # reuse the stage body by faking the x_ref protocol
+        inner(_Box(x), w_ref, lo_ref, out_ref)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _in_tile_call_mul(spec: FieldSpec, n: int, batch: int, halves: tuple,
+                      w_rows: int, n_full: int):
+    L = spec.num_limbs16
+    T = min(_TILE2, n)
+    nt = n // T
+    kernel = _stages_kernel_in_tile_mul(spec, halves)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, L, n), jnp.uint32),
+        grid=(batch, nt),
+        in_specs=[
+            pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T), lambda b, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rows, T), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(n_full, 1), T), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+def _stage_tables_width(spec: FieldSpec, sub_n: int, T: int, skip: int):
+    """In-tile stage tables for packed sub_n-point sub-NTTs at tile width T
+    (same construction as _v2_tables' in-tile part; twiddle at lane t of
+    stage s is W_s[t mod 2^s], period 2^s | sub_n | T)."""
+    L = spec.num_limbs16
+    stages = _twiddle_ints(spec, sub_n, False)
+    rows, los, halves = [], [], []
+    for s in range(skip, sub_n.bit_length() - 1):
+        half = 1 << s
+        halves.append(half)
+        vals = stages[s]
+        if half < _PACK:
+            reps = np.array([vals[t % half] for t in range(T)], object)
+            rows.append(_cmul_rows_np(reps, spec))
+            los.append((((np.arange(T) >> s) & 1) == 0).astype(np.uint32))
+        else:
+            reps = np.array([vals[t % half] for t in range(T // 2)], object)
+            tab = np.zeros((L * L, T), np.uint32)
+            tab[:, : T // 2] = _cmul_rows_np(reps, spec)
+            rows.append(tab)
+    w = (np.concatenate(rows, axis=0) if rows
+         else np.zeros((0, T), np.uint32))
+    lo = np.stack(los) if los else np.zeros((1, T), np.uint32)
+    return tuple(halves), w, lo, len(los)
+
+
+def _fs_split(n: int) -> tuple | None:
+    """(n1, n2) with n1*n2 = n, both <= _TILE2, or None (fall back)."""
+    if n <= _TILE2 or n > _TILE2 * _TILE2:
+        return None
+    l1 = (n.bit_length() - 1) // 2
+    n1 = 1 << l1
+    n2 = n // n1
+    if n2 > _TILE2:
+        n1, n2 = n2, n1
+    if n1 > _TILE2 or n2 > _TILE2:
+        return None
+    return n1, n2
+
+
+@functools.lru_cache(maxsize=None)
+def _fs_tables_np(spec: FieldSpec, n: int, n_nonzero: int | None):
+    """numpy bundle: permutations p0/p1/p2, fused twiddle values (L, n),
+    and the two in-tile stage-table stacks."""
+    n1, n2 = _fs_split(n)
+    L = spec.num_limbs16
+    T = min(_TILE2, n)
+    p_int = spec.modulus
+
+    # NTT_A pruning: x[j]=0 for j >= nnz and j = j1 + n1*j2 => per-group
+    # rows j2 >= ceil(nnz/n1) are zero
+    nnz2 = None
+    if n_nonzero is not None and 0 < n_nonzero < n:
+        nnz2 = min(n2, (n_nonzero + n1 - 1) // n1)
+    skip = _skip_for(n2, nnz2)
+
+    rev2 = _bit_reverse_perm(n2)
+    rev1 = _bit_reverse_perm(n1)
+    lanes = np.arange(n, dtype=np.int64)
+    # P0: dest lane g*n2 + t  <-  x[j1=g + n1 * rev2[t & ~mask]]
+    g, t = lanes // n2, lanes % n2
+    t_m = t & ~((1 << skip) - 1) if skip else t
+    p0 = g + n1 * rev2[t_m]
+    # P1: dest lane h*n1 + u  <-  A[j1=rev1[u], k2=h]  (A at lane j1*n2+k2)
+    h, u = lanes // n1, lanes % n1
+    p1 = rev1[u] * n2 + h
+    # fused diagonal twiddle at dest lane: w_n^(j1*k2), j1=rev1[u], k2=h
+    w = spec.nth_root_of_unity(n)
+    w_pows_j1 = [1] * n1
+    for j1 in range(1, n1):
+        w_pows_j1[j1] = (w_pows_j1[j1 - 1] * w) % p_int
+    wj = [w_pows_j1[rev1[uu]] for uu in range(n1)]   # per-dest-lane base
+    tw_vals = [0] * n
+    row = [1] * n1                                   # (w^j1)^h, h ascending
+    for hh in range(n2):
+        if hh:
+            row = [(r * wv) % p_int for r, wv in zip(row, wj)]
+        tw_vals[hh * n1 : (hh + 1) * n1] = row
+    from ..fields.field import ints_to_limbs
+    tw = np.ascontiguousarray(ints_to_limbs(tw_vals, spec).T)    # (L, n)
+    # P2: out[k] <- B[k2=k%n2, k1=k//n2] at lane (k%n2)*n1 + (k//n2)
+    p2 = (lanes % n2) * n1 + (lanes // n2)
+
+    halves_a, w_a, lo_a, nf_a = _stage_tables_width(spec, n2, T, skip)
+    halves_b, w_b, lo_b, nf_b = _stage_tables_width(spec, n1, T, 0)
+    return dict(n1=n1, n2=n2, skip=skip,
+                p0=p0.astype(np.int32), p1=p1.astype(np.int32),
+                p2=p2.astype(np.int32), tw=tw,
+                halves_a=halves_a, w_a=w_a, lo_a=lo_a, nf_a=nf_a,
+                halves_b=halves_b, w_b=w_b, lo_b=lo_b, nf_b=nf_b)
+
+
+def fs_device_tables(spec: FieldSpec, n: int,
+                     n_nonzero: int | None = None) -> tuple:
+    """Four-step operand bundle as a device pytree (arrays only — rides
+    through jit as arguments like v2_device_tables)."""
+    t = _fs_tables_np(spec, n, n_nonzero)
+    return (jax.device_put(t["w_a"]), jax.device_put(t["lo_a"]),
+            jax.device_put(t["w_b"]), jax.device_put(t["lo_b"]),
+            jax.device_put(t["tw"]), jax.device_put(t["p0"]),
+            jax.device_put(t["p1"]), jax.device_put(t["p2"]))
+
+
+def _use_fourstep(n: int, inverse: bool, n_nonzero) -> bool:
+    if inverse or _fs_split(n) is None:
+        return False
+    return os.environ.get("LCPC_NTT_FOURSTEP", "0") == "1"
+
+
+def ntt_four_step(x: jnp.ndarray, spec: FieldSpec,
+                  n_nonzero: int | None = None,
+                  tables: tuple | None = None) -> jnp.ndarray:
+    """Four-step NTT along axis -2 of (batch, n, L); bit-identical to
+    ops.ntt.ntt (oracle: tests/test_ntt_fourstep.py)."""
+    batch, n, L = x.shape
+    t = _fs_tables_np(spec, n, n_nonzero)
+    if tables is not None:
+        w_a, lo_a, w_b, lo_b, tw, p0, p1, p2 = tables
+        assert w_a.shape == t["w_a"].shape, "fs tables mismatch (n/skip)"
+    else:
+        w_a, lo_a = jnp.asarray(t["w_a"]), jnp.asarray(t["lo_a"])
+        w_b, lo_b = jnp.asarray(t["w_b"]), jnp.asarray(t["lo_b"])
+        tw = jnp.asarray(t["tw"])
+        p0, p1, p2 = (jnp.asarray(t["p0"]), jnp.asarray(t["p1"]),
+                      jnp.asarray(t["p2"]))
+
+    xm = jnp.transpose(x, (0, 2, 1))                      # (b, L, n)
+    xm = jnp.take(xm, p0, axis=2)
+    xm = _in_tile_call(spec, n, batch, t["halves_a"], t["w_a"].shape[0],
+                       t["nf_a"])(xm, w_a, lo_a)
+    xm = jnp.take(xm, p1, axis=2)
+    xm = _in_tile_call_mul(spec, n, batch, t["halves_b"], t["w_b"].shape[0],
+                           t["nf_b"])(xm, tw, w_b, lo_b)
+    xm = jnp.take(xm, p2, axis=2)
+    return jnp.transpose(xm, (0, 2, 1))
+
+
+# ---------------------------------------------------------------------------
 # entry point
 # ---------------------------------------------------------------------------
 
@@ -375,6 +605,8 @@ def v2_device_tables(spec: FieldSpec, n: int,
     of MB and would otherwise be baked into the HLO as literals (the
     compile-payload pathology core/commit.py:217-219 documents)."""
     import jax
+    if _use_fourstep(n, inverse, n_nonzero):
+        return fs_device_tables(spec, n, n_nonzero)
     T = min(_TILE2, n)
     skip = _skip_for(n, n_nonzero)
     halves, w_in_tile, lo_in_tile, large = _v2_tables(spec, n, skip, inverse)
@@ -398,6 +630,14 @@ def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
     small n).  inverse runs the inverse twiddles + final n^-1 scaling."""
     batch, n, L = x.shape
     assert n & (n - 1) == 0 and n >= 256, "pallas path needs pow2 n >= 256"
+    # four-step dispatch: an 8-tuple operand bundle (fs_device_tables) or
+    # the env opt-in routes large-n forward transforms through the two-pass
+    # factorization instead of the per-stage pipeline
+    if tables is not None and len(tables) == 8:
+        assert not inverse
+        return ntt_four_step(x, spec, n_nonzero=n_nonzero, tables=tables)
+    if tables is None and _use_fourstep(n, inverse, n_nonzero):
+        return ntt_four_step(x, spec, n_nonzero=n_nonzero)
     log_n = n.bit_length() - 1
     T = min(_TILE2, n)
 

@@ -89,8 +89,14 @@ def run_protocol(log2s=None, field_name=None, code=None, iters=None,
         coeffs16[:, -1] = 0
         dev_coeffs = jax.block_until_ready(jnp.asarray(coeffs16))
         if streamed:
+            # keep_comm=True mirrors the reference's memory model (encoded
+            # matrix in host RAM -> prove() gathers, no re-encode; this VM
+            # has 125 GB).  commit_s then includes the device->host stream
+            # of the encoded batches — tunnel-bandwidth-bound here, PCIe on
+            # a direct-attached TPU.
+            keep = os.environ.get("LCPC_PROTO_KEEP_COMM") == "1"
             do_commit = lambda: commit_streamed(dev_coeffs, enc,
-                                                keep_comm=False)
+                                                keep_comm=keep)
         else:
             do_commit = lambda: commit(dev_coeffs, enc)
         x = 0x1234567

@@ -8,9 +8,10 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
 LOG=${1:-/tmp/campaign_r3.log}
+shift || true
 for attempt in $(seq 1 12); do
   echo "=== attempt $attempt $(date -u +%H:%M:%S) ===" >> "$LOG"
-  python -u scripts/r3_campaign.py >> "$LOG" 2>&1
+  python -u scripts/r3_campaign.py "$@" >> "$LOG" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then echo "=== campaign finished rc=0 ===" >> "$LOG"; exit 0; fi
   if grep -q "not in the list of known backends" "$LOG"; then

@@ -111,6 +111,60 @@ def _proto_ligero25():
         emit({"item": "proto_ligero25", **r})
 
 
+@item("fourstep_bench")
+def _fourstep_bench():
+    """Commit throughput with the four-step NTT (two VMEM-resident sub-NTT
+    passes instead of the per-large-stage HBM pipeline)."""
+    import bench
+    os.environ["LCPC_NTT_FOURSTEP"] = "1"
+    try:
+        for lg, iters in ((20, 3), (24, 2), (25, 2), (26, 2)):
+            emit({"item": f"fourstep_bench{lg}",
+                  **bench.run_bench(lg, "ft255", iters)})
+    finally:
+        os.environ.pop("LCPC_NTT_FOURSTEP", None)
+
+
+@item("proto_ligero25_keep")
+def _proto_ligero25_keep():
+    """2^25 with the reference's memory model: keep_comm=True streams the
+    encoded matrix to host RAM (125 GB here), prove gathers instead of
+    re-encoding.  commit_s then includes the encoded stream's device->host
+    leg (tunnel-bound; PCIe on direct-attached hardware)."""
+    from bench_protocol import run_protocol
+    os.environ["LCPC_PROTO_KEEP_COMM"] = "1"
+    try:
+        rows = run_protocol(log2s=[25], iters=2)
+    finally:
+        os.environ.pop("LCPC_PROTO_KEEP_COMM", None)
+    for r in rows:
+        emit({"item": "proto_ligero25_keep", **r})
+
+
+@item("brakedown25_inflight")
+def _brakedown25_inflight():
+    """Brakedown 2^25 streamed commit with a 1-deep in-flight batch window
+    (pipeline the per-batch sync; HBM holds coeffs 1.07 GB + 2 batches)."""
+    from bench_protocol import run_protocol
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    try:
+        rows = run_protocol(log2s=[25], code="brakedown", iters=2)
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+    for r in rows:
+        emit({"item": "brakedown25_inflight", **r})
+
+
+@item("bench26_inflight")
+def _bench26_inflight():
+    import bench
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    try:
+        emit({"item": "bench26_inflight", **bench.run_bench(26, "ft255", 2)})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+
+
 @item("tunnel_probe")
 def _tunnel_probe():
     """Measure the axon tunnel's host->device / device->host bandwidth and
