@@ -78,7 +78,15 @@ def run_protocol(log2s=None, field_name=None, code=None, iters=None,
     for log2n in log2s:
         n = 1 << log2n
         enc = make_enc(n)
-        streamed = log2n >= stream_min
+        # Stream only when the one-shot pipeline cannot hold the encoded
+        # matrix + transients in 16 GB HBM.  Criterion = encoded bytes, not
+        # log2n: Brakedown dims are flat (143 x 357697 at 2^25 = 3.3 GB
+        # encoded -> one-shot commit + device-gather prove), while Ligero
+        # 2^25 is 8.6 GB -> out-of-core.
+        n_rows_est = (n + enc.n_per_row - 1) // enc.n_per_row
+        encoded_bytes = n_rows_est * enc.n_cols * spec.num_limbs16 * 4
+        stream_bytes = float(os.environ.get("LCPC_PROTO_STREAM_BYTES", "5e9"))
+        streamed = log2n >= stream_min and encoded_bytes > stream_bytes
         # Coefficients live as a device limb array BEFORE the clock starts:
         # the reference commits from a Vec<FieldElem> already in memory
         # (benches feed ff elements, not parsed ints), so python-int

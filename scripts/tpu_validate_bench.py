@@ -67,6 +67,27 @@ def main():
     if not okp:
         sys.exit("MISMATCH ft63 v2 pruned")
 
+    # four-step NTT == oracle on real hardware (packed sub-NTT passes,
+    # fused twiddle prologue, lane permutations)
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas2 import (
+        fs_device_tables, ntt_four_step)
+    t = time.time()
+    got4 = np.asarray(ntt_four_step(X, spec))
+    ok4 = np.array_equal(got4, ref)
+    print(f"# ft63 n=8192 four-step: {time.time()-t:.0f}s match={ok4}",
+          flush=True)
+    if not ok4:
+        sys.exit("MISMATCH ft63 four-step")
+    Xq = jnp.asarray(np.asarray(X).copy()).at[:, n // 4 :, :].set(0)
+    refq = np.asarray(jax.jit(lambda a: ntt(a, spec))(Xq))
+    tabs4 = fs_device_tables(spec, n, n_nonzero=n // 4)
+    got4p = np.asarray(jax.jit(
+        lambda a, tb: ntt_four_step(a, spec, n_nonzero=n // 4, tables=tb)
+    )(Xq, tabs4))
+    if not np.array_equal(got4p, refq):
+        sys.exit("MISMATCH ft63 four-step pruned")
+    print("# ft63 four-step pruned match=True", flush=True)
+
     # pallas blake3 hash == XLA hash, multi-chunk columns
     from lcpc_proof_of_storage_tpu.ops.blake3_jax import hash_columns
     from lcpc_proof_of_storage_tpu.ops.blake3_pallas import hash_columns_pallas
