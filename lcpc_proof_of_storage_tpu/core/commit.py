@@ -594,6 +594,17 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     # run in row batches and the opened columns are re-encoded on demand
     streamed = comm.comm is None
 
+    # The one-shot collapse materializes the full widened product
+    # (rows, n_per_row, 2L+1) u32 — 8.8 GB at 2^25 ft255, which next to the
+    # coefficient matrix thrashes a 16 GB chip (measured: 8.6 s instead of
+    # ~1 s).  Large matrices collapse through the row-batched accumulator
+    # even when the commitment itself is one-shot / host-resident.
+    import os as _os
+    n_rows_c, n_per_row_c, Lc = comm.coeffs.shape
+    transient_bytes = n_rows_c * n_per_row_c * (2 * Lc + 1) * 4
+    batched_collapse = streamed or transient_bytes > float(
+        _os.environ.get("LCPC_COLLAPSE_TRANSIENT_BYTES", "2e9"))
+
     # The eval collapse uses only the caller-supplied outer tensor, so it
     # shares a device round trip with the first degree-test collapse; the
     # transcript evolution (squeeze rand_i -> append p_random_i -> ... ->
@@ -603,7 +614,7 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     for i in range(enc.get_n_degree_tests()):
         rand_tensor = _challenge_tensor(tr, spec, comm.n_rows)
         if i == 0:
-            if streamed:
+            if batched_collapse:
                 from .streamed import collapse_streamed
                 (p_random, pr_limbs), (p_eval, pe_limbs) = collapse_streamed(
                     comm, enc, [rand_tensor, outer_tensor])
@@ -611,7 +622,7 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
                 p_random, p_eval, pr_limbs, pe_limbs = _collapse2(
                     comm.coeffs, rand_tensor, outer_tensor, spec)
         else:
-            if streamed:
+            if batched_collapse:
                 from .streamed import collapse_streamed
                 (p_random, pr_limbs), = collapse_streamed(
                     comm, enc, [rand_tensor])

@@ -182,6 +182,62 @@ def _bench26_inflight():
         os.environ.pop("LCPC_STREAM_INFLIGHT", None)
 
 
+@item("profile_streamed")
+def _profile_streamed():
+    """Phase breakdown of one 2^26-class streamed batch: encode alone vs
+    encode + repr/transpose + chunk-CVs — how much the streaming machinery
+    adds on top of the raw NTT."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.codes.ligero import LigeroEncoding
+    from lcpc_proof_of_storage_tpu.core.commit import _encode_matrix
+    from lcpc_proof_of_storage_tpu.fields.field import FT255
+    from lcpc_proof_of_storage_tpu.ops.blake3_jax import (
+        chunk_cvs_words, limbs_to_repr_words)
+
+    spec = FT255
+    n = 1 << 26
+    enc = LigeroEncoding.new(n, spec, rho=(1, 4))
+    n_rows, n_per_row, n_cols = enc.get_dims(n)
+    L = spec.num_limbs16
+    W = spec.repr_bytes
+    rows_b = max(1, min(1024, (1 << 30) // (n_cols * L * 4)))
+    rng = np.random.default_rng(0)
+    cm = jnp.asarray(rng.integers(0, 1 << 16, (rows_b, n_per_row, L),
+                                  dtype=np.uint32))
+    ops = enc.device_operands()
+    k = (rows_b * W + 1023) // 1024
+
+    def enc_only(c, o):
+        return _encode_matrix(c, enc, n_cols, o).sum(dtype=jnp.uint32)
+
+    def enc_cv(c, o, counters):
+        comm_b = _encode_matrix(c, enc, n_cols, o)
+        words = limbs_to_repr_words(comm_b, spec)
+        words = jnp.transpose(words, (1, 0, 2)).reshape(n_cols, -1)
+        pad = k * 256 - rows_b * W // 4
+        if pad:
+            words = jnp.pad(words, ((0, 0), (0, pad)))
+        return chunk_cvs_words(words, counters, 1024).sum(dtype=jnp.uint32)
+
+    out = {"item": "profile_streamed", "rows_b": rows_b,
+           "n_batches": -(-n_rows // rows_b)}
+    counters = jnp.arange(k, dtype=jnp.uint32)
+    for name, g, args in (
+            ("encode_batch_s", jax.jit(enc_only), (cm, ops)),
+            ("encode_cv_batch_s", jax.jit(enc_cv), (cm, ops, counters))):
+        _ = int(g(*args))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _ = int(g(*args))
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    emit(out)
+
+
 @item("bench27_dev2")
 def _bench27_dev2():
     """bench27_dev without the four-step kernel (measured slower)."""
