@@ -119,9 +119,9 @@ class LcCommit:
     The Merkle array may be constructed DEVICE-resident (hashes_dev): the
     full array is 16.8 MB at Brakedown 2^21 and reading it back inside
     commit() cost ~0.5 s through the ~22 MB/s axon tunnel.  get_root()
-    reads back only the root row; an async device->host copy is started at
-    construction so the `.hashes` property (prove paths, serde, PoS leaf
-    digests) materializes from an overlapped transfer, not a cold one.
+    reads back only the root row; prove() gathers sibling paths on device;
+    the `.hashes` property materializes the full array lazily for the
+    consumers that genuinely need it (serde, PoS leaf digests).
     """
 
     def __init__(self, coeffs, comm, n_rows: int, n_cols: int,
@@ -132,13 +132,12 @@ class LcCommit:
         self.n_rows = n_rows
         self.n_cols = n_cols
         self.n_per_row = n_per_row
+        # No eager host copy: prove() gathers sibling paths ON DEVICE and
+        # get_root() reads one row, so most commitments never materialize
+        # the full array host-side — consumers that do (serde, PoS leaf
+        # digests) pay one sync copy at first `.hashes` access.
         self._hashes_np = None if hashes is None else np.asarray(hashes)
         self._hashes_dev = hashes_dev
-        if hashes_dev is not None and self._hashes_np is None:
-            try:
-                hashes_dev.copy_to_host_async()
-            except AttributeError:
-                pass
 
     @property
     def hashes(self) -> np.ndarray:
@@ -337,8 +336,8 @@ def _paths_from_sibs(sibs: np.ndarray, k: int, depth: int) -> list[list[bytes]]:
              for l in range(depth)] for i in range(k)]
 
 
-def merkle_paths_batch(comm: "LcCommit", columns: list[int],
-                       enc: LcEncoding | None = None) -> list[list[bytes]]:
+def merkle_paths_batch(comm: "LcCommit",
+                       columns: list[int]) -> list[list[bytes]]:
     """merkle_path for many columns in one vectorized gather.
 
     Brakedown opens thousands of columns (6593 at SdigCode3/lambda=128), so
@@ -472,7 +471,12 @@ def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
     if k == 0:
         return []
     depth = len(paths[0])
-    if any(len(p) != depth for p in paths):
+    if (any(len(p) != depth for p in paths)
+            or any(len(e) != 32 for p in paths for e in p)):
+        # malformed proofs (wrong path count OR non-32-byte elements) fold
+        # serially: blake3 over the raw bytes mismatches the root and the
+        # caller raises VerifierError("ColumnPath") — same failure the
+        # reference produces, instead of a reshape ValueError here
         return [_fold_path(leaf_bytes[i], col_nums[i], paths[i])
                 for i in range(k)]
     h = np.frombuffer(b"".join(leaf_bytes), np.uint8).reshape(k, 32)
@@ -537,10 +541,22 @@ def _append_coeffs(tr: Transcript, label: bytes, vals: list[int],
     With `limbs` ((n, L) uint32, canonical) the repr bytes come straight out
     of numpy: the LE repr IS the 16-bit limb buffer (BE fields byte-reverse
     per element) — the per-int to_repr loop cost 0.2 s+ on a Brakedown
-    2^21 proof's 117k-coefficient rows."""
+    2^21 proof's 117k-coefficient rows.  Canonicity (v < p) is enforced
+    vectorized, mirroring to_repr's per-value assert: the verifier feeds
+    proof values through here, and a v >= p must fail loudly, not produce
+    transcript bytes the reference could never emit."""
     if limbs is not None and 2 * limbs.shape[-1] == spec.repr_bytes:
         le = np.ascontiguousarray(
             np.asarray(limbs, np.uint32).astype("<u2"))
+        p_limbs = np.frombuffer(
+            spec.modulus.to_bytes(2 * le.shape[-1], "little"), "<u2")
+        lt = np.zeros(len(le), bool)
+        decided = np.zeros(len(le), bool)
+        for j in reversed(range(le.shape[-1])):
+            a = le[:, j]
+            lt |= ~decided & (a < p_limbs[j])
+            decided |= a != p_limbs[j]
+        assert lt.all(), "non-canonical field value in coefficient vector"
         if spec.endianness == "little":
             msgs = le.tobytes()
         else:

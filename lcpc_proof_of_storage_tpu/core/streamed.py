@@ -224,10 +224,12 @@ def _even_row_batches(n_rows: int, bytes_per_row: int,
     return [(s, min(s + step, n_rows)) for s in range(0, n_rows, step)]
 
 
-def collapse_streamed(comm: LcCommit, enc: LcEncoding,
-                      tensors: list[list[int]],
-                      target_batch_rows: int | None = None) -> list[list[int]]:
-    """[t^T . coeffs for t in tensors] in row batches (one pass, shared).
+def collapse_streamed(
+        comm: LcCommit, enc: LcEncoding, tensors: list[list[int]],
+        target_batch_rows: int | None = None,
+) -> list[tuple[list[int], np.ndarray]]:
+    """[(t^T . coeffs as python ints, as (n_per_row, L) limbs) for t in
+    tensors], computed in row batches (one pass, shared).
 
     Per batch: exact-limb dot partials (canonical after lf.dot) are folded
     into a (T, n_per_row, L) device accumulator with a field add — no

@@ -551,7 +551,7 @@ def fs_device_tables(spec: FieldSpec, n: int,
             jax.device_put(t["p1"]), jax.device_put(t["p2"]))
 
 
-def _use_fourstep(n: int, inverse: bool, n_nonzero) -> bool:
+def _use_fourstep(n: int, inverse: bool) -> bool:
     if inverse or _fs_split(n) is None:
         return False
     return os.environ.get("LCPC_NTT_FOURSTEP", "0") == "1"
@@ -576,8 +576,11 @@ def ntt_four_step(x: jnp.ndarray, spec: FieldSpec,
 
     xm = jnp.transpose(x, (0, 2, 1))                      # (b, L, n)
     xm = jnp.take(xm, p0, axis=2)
-    xm = _in_tile_call(spec, n, batch, t["halves_a"], t["w_a"].shape[0],
-                       t["nf_a"])(xm, w_a, lo_a)
+    if t["halves_a"]:
+        # skip == log2(n2) (n_nonzero <= n1) leaves pass A with no stages:
+        # the duplicated-input groups are already the pass-A output
+        xm = _in_tile_call(spec, n, batch, t["halves_a"], t["w_a"].shape[0],
+                           t["nf_a"])(xm, w_a, lo_a)
     xm = jnp.take(xm, p1, axis=2)
     xm = _in_tile_call_mul(spec, n, batch, t["halves_b"], t["w_b"].shape[0],
                            t["nf_b"])(xm, tw, w_b, lo_b)
@@ -605,7 +608,7 @@ def v2_device_tables(spec: FieldSpec, n: int,
     of MB and would otherwise be baked into the HLO as literals (the
     compile-payload pathology core/commit.py:217-219 documents)."""
     import jax
-    if _use_fourstep(n, inverse, n_nonzero):
+    if _use_fourstep(n, inverse):
         return fs_device_tables(spec, n, n_nonzero)
     T = min(_TILE2, n)
     skip = _skip_for(n, n_nonzero)
@@ -636,7 +639,7 @@ def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
     if tables is not None and len(tables) == 8:
         assert not inverse
         return ntt_four_step(x, spec, n_nonzero=n_nonzero, tables=tables)
-    if tables is None and _use_fourstep(n, inverse, n_nonzero):
+    if tables is None and _use_fourstep(n, inverse):
         return ntt_four_step(x, spec, n_nonzero=n_nonzero)
     log_n = n.bit_length() - 1
     T = min(_TILE2, n)

@@ -334,6 +334,26 @@ class FileHandler:
         meta.write_to_file(dst["meta"])
         return FileHandler.attach(ulid, self.spec, base=base)
 
+    def clone_reshaped(self, new_pre: int, new_enc: int,
+                       base: Path | None = None):
+        """Reshape into a NEW ulid: copy only the raw file and re-encode at
+        the new dims.  A full clone_to_new_ulid + reshape() pays a wasted
+        read+write of the encoded file and tree — the largest artifacts —
+        only for reshape() to regenerate both from raw.  Returns
+        (handler attached to the new quadruple, its MerkleTree)."""
+        import shutil
+
+        from .storage import EncodedFileWriter, file_paths, new_ulid
+        ulid = new_ulid()
+        if base is None:
+            base = self.paths["raw"].parent.parent
+        dst = file_paths(ulid, base)
+        shutil.copyfile(self.paths["raw"], dst["raw"])
+        _, tree = EncodedFileWriter.convert_unencoded_file(
+            dst["raw"], dst["enc"], dst["tree"], dst["meta"],
+            new_pre, new_enc, self.spec, ulid=ulid)
+        return FileHandler.attach(ulid, self.spec, base=base), tree
+
     def delete_all_files(self) -> None:
         self.reader.close()
         for p in self.paths.values():

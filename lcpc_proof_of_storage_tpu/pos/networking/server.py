@@ -325,8 +325,8 @@ def h_request_reshape(state, msg):
     if not online.dims_ok(new_pre, new_enc):
         return shared.error_response("Invalid rows or columns")
     fh_old = _handler(state, meta)
-    fh_new = fh_old.clone_to_new_ulid(base=state.base)
-    _, tree = fh_new.reshape(new_pre, new_enc)
+    # raw-only clone: reshape regenerates enc/tree from raw anyway
+    fh_new, tree = fh_old.clone_reshaped(new_pre, new_enc, base=state.base)
     _register_handler(state, fh_new)
     new_meta = _meta_from_handler(fh_new, meta.filename, tree.root())
     new_meta.stored_server = meta.stored_server

@@ -179,10 +179,21 @@ def proof_to_json(proof, spec: FieldSpec) -> dict:
 
 def proof_from_json(obj: dict, spec: FieldSpec):
     from ..core.commit import LcEvalProof
+
+    def field(v) -> int:
+        # validate at the deserialization boundary like the bincode path's
+        # from_repr: the reference rejects non-canonical field encodings
+        # before they reach the verifier
+        x = int(v)
+        if not 0 <= x < spec.modulus:
+            raise ValueError("non-canonical field value in proof JSON")
+        return x
+
     return LcEvalProof(
         n_cols=obj["n_cols"],
-        p_eval=[int(v) for v in obj["p_eval"]],
-        p_random_vec=[[int(v) for v in vec] for vec in obj["p_random_vec"]],
+        p_eval=[field(v) for v in obj["p_eval"]],
+        p_random_vec=[[field(v) for v in vec]
+                      for vec in obj["p_random_vec"]],
         columns=[column_from_json(c) for c in obj["columns"]],
     )
 

@@ -132,6 +132,26 @@ def test_tampered_proof_rejected():
     with pytest.raises(VerifierError):
         verify(root, outer, inner, bad, enc, fresh_tr())
 
+    # truncate one Merkle path element (non-32-byte): must fail as
+    # ColumnPath, not crash the batched fold with a reshape error
+    bad = copy.deepcopy(proof)
+    bad.columns[2].path[1] = bad.columns[2].path[1][:31]
+    with pytest.raises(VerifierError):
+        verify(root, outer, inner, bad, enc, fresh_tr())
+
+    # drop a path level on one column (ragged path lengths)
+    bad = copy.deepcopy(proof)
+    bad.columns[0].path.pop()
+    with pytest.raises(VerifierError):
+        verify(root, outer, inner, bad, enc, fresh_tr())
+
+    # non-canonical p_eval value (>= p): the transcript append must refuse
+    # it (the reference rejects non-canonical encodings at deserialization)
+    bad = copy.deepcopy(proof)
+    bad.p_eval[0] = bad.p_eval[0] + spec.modulus
+    with pytest.raises((VerifierError, AssertionError, OverflowError)):
+        verify(root, outer, inner, bad, enc, fresh_tr())
+
     # tamper the root
     bad_root = bytes([root[0] ^ 1]) + root[1:]
     with pytest.raises(VerifierError):

@@ -70,6 +70,19 @@ def test_fourstep_pruned(nnz_div):
     assert np.array_equal(got, ref)
 
 
+def test_fourstep_pruned_past_pass_a():
+    """n_nonzero <= n1 makes skip == log2(n2): pass A has no stages (the
+    duplicated-input groups ARE its output) — must not crash."""
+    spec = FT63
+    n = 4096
+    n1, _n2 = _fs_split(n)
+    nnz = n1 // 2
+    x = _rand_x(spec, 2, n, nnz=nnz, seed=5)
+    ref = np.asarray(jax.jit(lambda a: ntt(a, spec))(x))
+    got = np.asarray(ntt_four_step(x, spec, n_nonzero=nnz))
+    assert np.array_equal(got, ref)
+
+
 def test_fourstep_ft255_with_device_tables():
     """The commit-pipeline shape: ft255, rho=1/4 pruning, tables as jit
     arguments (fs_device_tables 8-tuple through ntt_pallas2 dispatch)."""
