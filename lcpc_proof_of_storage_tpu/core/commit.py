@@ -556,7 +556,13 @@ def _append_coeffs(tr: Transcript, label: bytes, vals: list[int],
             a = le[:, j]
             lt |= ~decided & (a < p_limbs[j])
             decided |= a != p_limbs[j]
-        assert lt.all(), "non-canonical field value in coefficient vector"
+        if not lt.all():
+            # explicit raise (not assert): this guards verifier-reachable
+            # proof values and must survive python -O — a non-canonical
+            # value would otherwise produce transcript bytes the reference
+            # could never emit
+            raise ValueError(
+                "non-canonical field value in coefficient vector")
         if spec.endianness == "little":
             msgs = le.tobytes()
         else:
@@ -748,6 +754,12 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     _append_coeffs(tr, LABEL_PE, proof.p_eval, spec, limbs=row_limbs[-1])
     cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
 
+    if any(len(c.col) != n_rows for c in proof.columns):
+        # ragged opened columns: the reference's per-column zip silently
+        # truncates the dot products but such a proof can never verify (the
+        # leaf hash covers the full column) — reject cleanly instead of
+        # letting np.stack throw
+        raise VerifierError("OuterTensor", "ragged column lengths")
     cols_np = np.stack([c.col_limbs(spec) for c in proof.columns])  # (k, rows, L)
     rand_mats = jnp.stack([lf.array(t) for t in rand_tensor_vec])   # (ndt, rows, L)
     outer_mat = lf.array(outer_tensor)                              # (rows, L)
@@ -774,9 +786,15 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         # the encodes never touch the transcript, so hoisting them below the
         # challenge squeezes leaves the Fiat-Shamir evolution unchanged
         lfL = lf.L
-        rows_mat = np.zeros((n_degree + 1, n_per_row, lfL), np.uint16)
+        # row matrix width: normally n_per_row, but a malformed proof may
+        # carry longer p_random rows — the reference copies each row into an
+        # n_cols buffer and truncates (lib.rs:913-916 extend + resize), so
+        # widen to the longest row (capped at n_cols) rather than crash;
+        # the extra coefficients then fail ColumnDegree exactly like there
+        width = min(n_cols, max([n_per_row] + [len(l) for l in row_limbs]))
+        rows_mat = np.zeros((n_degree + 1, width, lfL), np.uint16)
         for i, limbs in enumerate(row_limbs):
-            rows_mat[i, : len(limbs), :] = limbs
+            rows_mat[i, : min(len(limbs), width), :] = limbs[:width]
         rand_ok_dev, eval_ok_dev, leaves = _verify_checks_fused(enc)(
             jnp.asarray(rows_mat), enc.device_operands(), rand_mats,
             outer_mat, jnp.asarray(cols_np.astype(np.uint16)),

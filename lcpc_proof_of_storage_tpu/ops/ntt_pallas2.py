@@ -134,8 +134,10 @@ def _interleave(lo: jnp.ndarray, hi: jnp.ndarray, half: int) -> jnp.ndarray:
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
-def _stages_kernel_in_tile(spec: FieldSpec, halves: tuple):
-    """All stages with half < T in one VMEM-resident kernel.
+def _stage_body(x: jnp.ndarray, w_ref, lo_ref, spec: FieldSpec,
+                halves: tuple) -> jnp.ndarray:
+    """DIT butterfly stages on one (L, T) lane tile (plain array in/out —
+    shared by the in-tile kernel and its fused-multiply variant).
 
     half < _PACK: full-width table mul, roll-based partner exchange
     (w table covers every lane; the product at lo lanes equals the lo
@@ -146,40 +148,45 @@ def _stages_kernel_in_tile(spec: FieldSpec, halves: tuple):
     packed: L*L rows at T/2 lanes zero-padded to T).  lo_ref: (n_full, T)
     lo masks for the full-width stages only."""
     L = spec.num_limbs16
+    T = x.shape[1]
+    _, p_np, _ = _field_consts_np(spec)
+    p_pad = _const_block(p_np, T, rows=L + 1)
+    p = p_pad[:L]
+    p_pad_h = _const_block(p_np, T // 2, rows=L + 1)
+    p_h = p_pad_h[:L]
+    row = 0
+    nf = 0
+    for half in halves:
+        w = w_ref[row : row + L * L]
+        row += L * L
+        if half < _PACK:
+            lo = lo_ref[nf : nf + 1]
+            nf += 1
+            y = _cmul_block(x, w, spec)
+            xp = jnp.where(lo > 0, pltpu.roll(x, T - half, 1),
+                           pltpu.roll(x, half, 1))
+            yp = jnp.where(lo > 0, pltpu.roll(y, T - half, 1),
+                           pltpu.roll(y, half, 1))
+            lo_val = _mod_add(x, yp, p_pad, L)
+            hi_val = _mod_sub(xp, y, p, L)
+            x = jnp.where(lo > 0, lo_val, hi_val)
+        else:
+            group = 2 * half
+            xl = _lane_slices(x, group, 0, half)        # (L, T/2)
+            xh = _lane_slices(x, group, 1, half)
+            y = _cmul_block(xh, w[:, : T // 2], spec)
+            lo_val = _mod_add(xl, y, p_pad_h, L)
+            hi_val = _mod_sub(xl, y, p_h, L)
+            x = _interleave(lo_val, hi_val, half)
+    return x
+
+
+def _stages_kernel_in_tile(spec: FieldSpec, halves: tuple):
+    """All stages with half < T in one VMEM-resident kernel (see
+    _stage_body for the per-stage structure and table layout)."""
 
     def kernel(x_ref, w_ref, lo_ref, out_ref):
-        x = x_ref[0]
-        T = x.shape[1]
-        _, p_np, _ = _field_consts_np(spec)
-        p_pad = _const_block(p_np, T, rows=L + 1)
-        p = p_pad[:L]
-        p_pad_h = _const_block(p_np, T // 2, rows=L + 1)
-        p_h = p_pad_h[:L]
-        row = 0
-        nf = 0
-        for half in halves:
-            w = w_ref[row : row + L * L]
-            row += L * L
-            if half < _PACK:
-                lo = lo_ref[nf : nf + 1]
-                nf += 1
-                y = _cmul_block(x, w, spec)
-                xp = jnp.where(lo > 0, pltpu.roll(x, T - half, 1),
-                               pltpu.roll(x, half, 1))
-                yp = jnp.where(lo > 0, pltpu.roll(y, T - half, 1),
-                               pltpu.roll(y, half, 1))
-                lo_val = _mod_add(x, yp, p_pad, L)
-                hi_val = _mod_sub(xp, y, p, L)
-                x = jnp.where(lo > 0, lo_val, hi_val)
-            else:
-                group = 2 * half
-                xl = _lane_slices(x, group, 0, half)        # (L, T/2)
-                xh = _lane_slices(x, group, 1, half)
-                y = _cmul_block(xh, w[:, : T // 2], spec)
-                lo_val = _mod_add(xl, y, p_pad_h, L)
-                hi_val = _mod_sub(xl, y, p_h, L)
-                x = _interleave(lo_val, hi_val, half)
-        out_ref[0] = x
+        out_ref[0] = _stage_body(x_ref[0], w_ref, lo_ref, spec, halves)
 
     return kernel
 
@@ -401,23 +408,10 @@ def _stages_kernel_in_tile_mul(spec: FieldSpec, halves: tuple):
     """_stages_kernel_in_tile with a generic-multiply prologue: x *= tw
     (per-lane twiddle VALUES, (L, T) tile) before the butterfly stages —
     fuses the four-step's diagonal twiddle into the second sub-NTT pass."""
-    L = spec.num_limbs16
-    inner = _stages_kernel_in_tile(spec, halves)
 
     def kernel(x_ref, tw_ref, w_ref, lo_ref, out_ref):
         x = _gmul_block(x_ref[0], tw_ref[:], spec)
-
-        class _Box:
-            shape = None
-
-            def __init__(self, v):
-                self._v = v
-
-            def __getitem__(self, i):
-                return self._v
-
-        # reuse the stage body by faking the x_ref protocol
-        inner(_Box(x), w_ref, lo_ref, out_ref)
+        out_ref[0] = _stage_body(x, w_ref, lo_ref, spec, halves)
 
     return kernel
 

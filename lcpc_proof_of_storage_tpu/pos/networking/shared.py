@@ -233,4 +233,5 @@ def parse_metadata(obj: dict) -> FileMetadata:
 
 def parse_columns(objs: list[dict]):
     from ...utils.serde import column_from_json
-    return [column_from_json(o) for o in objs]
+    from ..online import POS_FIELD
+    return [column_from_json(o, POS_FIELD) for o in objs]

@@ -194,7 +194,7 @@ def proof_from_json(obj: dict, spec: FieldSpec):
         p_eval=[field(v) for v in obj["p_eval"]],
         p_random_vec=[[field(v) for v in vec]
                       for vec in obj["p_random_vec"]],
-        columns=[column_from_json(c) for c in obj["columns"]],
+        columns=[column_from_json(c, spec) for c in obj["columns"]],
     )
 
 
@@ -203,7 +203,17 @@ def column_to_json(column) -> dict:
             "path": [p.hex() for p in column.path]}
 
 
-def column_from_json(obj: dict):
+def column_from_json(obj: dict, spec: FieldSpec | None = None):
     from ..core.commit import LcColumn
-    return LcColumn(col=[int(v) for v in obj["col"]],
+
+    def field(v) -> int:
+        # same canonicity gate as proof_from_json: the bincode path's
+        # read_field_vec -> from_repr rejects out-of-range values at the
+        # deserialization boundary, so the JSON wire path must too
+        x = int(v)
+        if spec is not None and not 0 <= x < spec.modulus:
+            raise ValueError("non-canonical field value in column JSON")
+        return x
+
+    return LcColumn(col=[field(v) for v in obj["col"]],
                     path=[bytes.fromhex(p) for p in obj["path"]])

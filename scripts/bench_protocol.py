@@ -136,7 +136,9 @@ def run_protocol(log2s=None, field_name=None, code=None, iters=None,
         for _ in range(iters):
             t0 = time.time()
             comm = do_commit()
-            _ = comm.get_root().root            # forces full readback
+            # the 32 B root readback synchronizes the device pipeline (the
+            # Merkle array itself stays device-resident)
+            _ = comm.get_root().root
             tc.append(time.time() - t0)
             t0 = time.time()
             proof = prove(comm, outer, enc, fresh_tr())

@@ -17,8 +17,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the limb-arithmetic graphs are large (L=16 fields)
-# and identical across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/lcpc_tpu_jax_cache")
+# and identical across runs.  Lives under ~/.cache (not /tmp) so it survives
+# tmp cleanup — a cold-cache full run is ~35 min, warm ~6-10 min.
+_cache_dir = os.path.expanduser("~/.cache/lcpc_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

@@ -149,7 +149,7 @@ def test_tampered_proof_rejected():
     # it (the reference rejects non-canonical encodings at deserialization)
     bad = copy.deepcopy(proof)
     bad.p_eval[0] = bad.p_eval[0] + spec.modulus
-    with pytest.raises((VerifierError, AssertionError, OverflowError)):
+    with pytest.raises((VerifierError, ValueError, OverflowError)):
         verify(root, outer, inner, bad, enc, fresh_tr())
 
     # tamper the root
@@ -162,6 +162,22 @@ def test_tampered_proof_rejected():
     # wrong number of columns
     bad = copy.deepcopy(proof)
     bad.columns = bad.columns[:-1]
+    with pytest.raises(VerifierError):
+        verify(root, outer, inner, bad, enc, fresh_tr())
+
+    # p_random row longer than n_per_row: the reference copies it into an
+    # n_cols buffer and the extra coefficient fails the degree test
+    # (lib.rs:913-916) — must be a VerifierError, not a numpy shape crash
+    bad = copy.deepcopy(proof)
+    bad.p_random_vec[0] = bad.p_random_vec[0] + [1]
+    with pytest.raises(VerifierError):
+        verify(root, outer, inner, bad, enc, fresh_tr())
+
+    # ragged opened-column lengths must be rejected cleanly
+    from lcpc_proof_of_storage_tpu.core.commit import LcColumn
+    bad = copy.deepcopy(proof)
+    bad.columns[1] = LcColumn(col=bad.columns[1].col[:-1],
+                              path=bad.columns[1].path)
     with pytest.raises(VerifierError):
         verify(root, outer, inner, bad, enc, fresh_tr())
 
