@@ -527,11 +527,29 @@ def _fs_tables_np(spec: FieldSpec, n: int, n_nonzero: int | None):
 
     halves_a, w_a, lo_a, nf_a = _stage_tables_width(spec, n2, T, skip)
     halves_b, w_b, lo_b, nf_b = _stage_tables_width(spec, n1, T, 0)
+
+    # major-axis factorization of the same permutations (the transpose
+    # path): P0 = take(rev2m over the j2 axis) + swap(n2,n1);
+    # P1 = take(rev1 over the j1 axis) + swap; P2 = swap only.
+    # rev2m[t] = rev2[t & ~mask] < n2 (row duplication realizes the
+    # zero-pad pruning); both takes run over axis -2 (contiguous minor
+    # rows), never over the lane axis.
+    t2 = np.arange(n2)
+    t2_m = t2 & ~((1 << skip) - 1) if skip else t2
+    rev2m = rev2[t2_m].astype(np.int32)
     return dict(n1=n1, n2=n2, skip=skip,
                 p0=p0.astype(np.int32), p1=p1.astype(np.int32),
                 p2=p2.astype(np.int32), tw=tw,
+                rev2m=rev2m, rev1=rev1.astype(np.int32),
                 halves_a=halves_a, w_a=w_a, lo_a=lo_a, nf_a=nf_a,
                 halves_b=halves_b, w_b=w_b, lo_b=lo_b, nf_b=nf_b)
+
+
+def _fs_perm_mode() -> str:
+    """'xpose' (default): permutations as major-axis takes + minor
+    transposes (TPU-friendly copies); 'take': round-3 full-lane gathers
+    (kept for A/B measurement — measured slower on hardware)."""
+    return os.environ.get("LCPC_FS_PERM", "xpose")
 
 
 def fs_device_tables(spec: FieldSpec, n: int,
@@ -539,10 +557,14 @@ def fs_device_tables(spec: FieldSpec, n: int,
     """Four-step operand bundle as a device pytree (arrays only — rides
     through jit as arguments like v2_device_tables)."""
     t = _fs_tables_np(spec, n, n_nonzero)
+    if _fs_perm_mode() == "take":
+        perms = (jax.device_put(t["p0"]), jax.device_put(t["p1"]),
+                 jax.device_put(t["p2"]))
+    else:
+        perms = (jax.device_put(t["rev2m"]), jax.device_put(t["rev1"]))
     return (jax.device_put(t["w_a"]), jax.device_put(t["lo_a"]),
             jax.device_put(t["w_b"]), jax.device_put(t["lo_b"]),
-            jax.device_put(t["tw"]), jax.device_put(t["p0"]),
-            jax.device_put(t["p1"]), jax.device_put(t["p2"]))
+            jax.device_put(t["tw"])) + perms
 
 
 def _use_fourstep(n: int, inverse: bool) -> bool:
@@ -555,30 +577,62 @@ def ntt_four_step(x: jnp.ndarray, spec: FieldSpec,
                   n_nonzero: int | None = None,
                   tables: tuple | None = None) -> jnp.ndarray:
     """Four-step NTT along axis -2 of (batch, n, L); bit-identical to
-    ops.ntt.ntt (oracle: tests/test_ntt_fourstep.py)."""
+    ops.ntt.ntt (oracle: tests/test_ntt_fourstep.py).
+
+    Permutation implementation per _fs_perm_mode(): the default 'xpose'
+    realizes P0/P1/P2 as (bit-reverse take over the MAJOR row axis of the
+    (n2, n1) lane view) + (minor-axis transpose) — XLA lowers both to
+    bandwidth-bound tiled copies, where the round-3 full-lane jnp.take
+    gathers were the measured loss (BENCH_SUMMARY r3 'Negative results')."""
     batch, n, L = x.shape
     t = _fs_tables_np(spec, n, n_nonzero)
+    take_mode = _fs_perm_mode() == "take"
     if tables is not None:
-        w_a, lo_a, w_b, lo_b, tw, p0, p1, p2 = tables
+        if len(tables) == 8:
+            w_a, lo_a, w_b, lo_b, tw, p0, p1, p2 = tables
+            take_mode = True
+        else:
+            w_a, lo_a, w_b, lo_b, tw, rev2m, rev1 = tables
+            take_mode = False
         assert w_a.shape == t["w_a"].shape, "fs tables mismatch (n/skip)"
-    else:
+    elif take_mode:
         w_a, lo_a = jnp.asarray(t["w_a"]), jnp.asarray(t["lo_a"])
         w_b, lo_b = jnp.asarray(t["w_b"]), jnp.asarray(t["lo_b"])
         tw = jnp.asarray(t["tw"])
         p0, p1, p2 = (jnp.asarray(t["p0"]), jnp.asarray(t["p1"]),
                       jnp.asarray(t["p2"]))
+    else:
+        w_a, lo_a = jnp.asarray(t["w_a"]), jnp.asarray(t["lo_a"])
+        w_b, lo_b = jnp.asarray(t["w_b"]), jnp.asarray(t["lo_b"])
+        tw = jnp.asarray(t["tw"])
+        rev2m, rev1 = jnp.asarray(t["rev2m"]), jnp.asarray(t["rev1"])
 
+    n1, n2 = t["n1"], t["n2"]
     xm = jnp.transpose(x, (0, 2, 1))                      # (b, L, n)
-    xm = jnp.take(xm, p0, axis=2)
+    if take_mode:
+        xm = jnp.take(xm, p0, axis=2)
+    else:
+        x4 = xm.reshape(batch, L, n2, n1)                 # rows = j2
+        x4 = jnp.take(x4, rev2m, axis=2)                  # bitrev + dup rows
+        xm = jnp.swapaxes(x4, 2, 3).reshape(batch, L, n)  # rows = j1
     if t["halves_a"]:
         # skip == log2(n2) (n_nonzero <= n1) leaves pass A with no stages:
         # the duplicated-input groups are already the pass-A output
         xm = _in_tile_call(spec, n, batch, t["halves_a"], t["w_a"].shape[0],
                            t["nf_a"])(xm, w_a, lo_a)
-    xm = jnp.take(xm, p1, axis=2)
+    if take_mode:
+        xm = jnp.take(xm, p1, axis=2)
+    else:
+        a4 = xm.reshape(batch, L, n1, n2)                 # rows = j1
+        a4 = jnp.take(a4, rev1, axis=2)                   # bitrev rows
+        xm = jnp.swapaxes(a4, 2, 3).reshape(batch, L, n)  # rows = k2
     xm = _in_tile_call_mul(spec, n, batch, t["halves_b"], t["w_b"].shape[0],
                            t["nf_b"])(xm, tw, w_b, lo_b)
-    xm = jnp.take(xm, p2, axis=2)
+    if take_mode:
+        xm = jnp.take(xm, p2, axis=2)
+    else:
+        b4 = xm.reshape(batch, L, n2, n1)                 # rows = k2
+        xm = jnp.swapaxes(b4, 2, 3).reshape(batch, L, n)  # rows = k1
     return jnp.transpose(xm, (0, 2, 1))
 
 
@@ -627,10 +681,11 @@ def ntt_pallas2(x: jnp.ndarray, spec: FieldSpec,
     small n).  inverse runs the inverse twiddles + final n^-1 scaling."""
     batch, n, L = x.shape
     assert n & (n - 1) == 0 and n >= 256, "pallas path needs pow2 n >= 256"
-    # four-step dispatch: an 8-tuple operand bundle (fs_device_tables) or
-    # the env opt-in routes large-n forward transforms through the two-pass
+    # four-step dispatch: a 7/8-tuple operand bundle (fs_device_tables;
+    # 7 = xpose permutations, 8 = legacy take permutations) or the env
+    # opt-in routes large-n forward transforms through the two-pass
     # factorization instead of the per-stage pipeline
-    if tables is not None and len(tables) == 8:
+    if tables is not None and len(tables) in (7, 8):
         assert not inverse
         return ntt_four_step(x, spec, n_nonzero=n_nonzero, tables=tables)
     if tables is None and _use_fourstep(n, inverse):
