@@ -130,8 +130,16 @@ class LigeroEncoding(LcEncoding):
             return self.encode_wide(rows)
         if _use_pallas(self.n_cols):
             import os
+            kern = os.environ.get("LCPC_NTT_KERNEL", "v2")
             # rows carry coefficients only in the first n_per_row slots
-            if os.environ.get("LCPC_NTT_KERNEL", "v2") != "v1":
+            if kern == "v3":
+                from ..ops.ntt_pallas3 import ntt_pallas3, v3_applicable
+                if v3_applicable(self.n_cols):
+                    return ntt_pallas3(rows, self.spec,
+                                       n_nonzero=self.n_per_row,
+                                       tables=operands or None)
+                kern = "v2"  # fall through outside the v3 size window
+            if kern != "v1":
                 from ..ops.ntt_pallas2 import ntt_pallas2
                 return ntt_pallas2(rows, self.spec, n_nonzero=self.n_per_row,
                                    tables=operands or None)
@@ -149,9 +157,15 @@ class LigeroEncoding(LcEncoding):
             return ()
         tabs = getattr(self, "_v2_dev_tables", None)
         if tabs is None:
-            from ..ops.ntt_pallas2 import v2_device_tables
-            tabs = v2_device_tables(self.spec, self.n_cols,
-                                    n_nonzero=self.n_per_row)
+            if os.environ.get("LCPC_NTT_KERNEL", "v2") == "v3":
+                from ..ops.ntt_pallas3 import v3_applicable, v3_device_tables
+                if v3_applicable(self.n_cols):
+                    tabs = v3_device_tables(self.spec, self.n_cols,
+                                            n_nonzero=self.n_per_row)
+            if tabs is None:
+                from ..ops.ntt_pallas2 import v2_device_tables
+                tabs = v2_device_tables(self.spec, self.n_cols,
+                                        n_nonzero=self.n_per_row)
             self._v2_dev_tables = tabs
         return tabs
 
