@@ -56,13 +56,18 @@ def _row_batches(n_rows: int, repr_bytes: int, target_rows: int) -> list[tuple[i
 
 
 def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = None,
-                    keep_comm: bool = True,
+                    keep_comm: bool | str = True,
                     device_coeffs: bool = True) -> LcCommit:
     """commit() with row-batched encode + incremental column hashing.
 
     keep_comm=True streams encoded batches back to host RAM (np.ndarray
     comm — prove() accepts it); False discards them (root/verify only;
-    re-encode on demand to prove).  target_batch_rows=None sizes batches so
+    re-encode on demand to prove); "device" keeps the encoded matrix
+    DEVICE-resident as uint16 (limbs are 16-bit, so half the HBM of the
+    one-shot pipeline's uint32 — 1.7 GB for Brakedown 2^25 ft255) so
+    prove() serves columns+paths in one fused gather instead of paying a
+    re-encode (the round-3 2^25 prove was ~2 commit-equivalents).
+    target_batch_rows=None sizes batches so
     one encoded batch is ~LCPC_STREAM_BATCH_BYTES (default 1 GB) — the NTT
     chain holds 2-4 batch-sized buffers live, and the coefficient matrix
     stays resident, so bigger batches OOM before they help.
@@ -100,7 +105,9 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
         # single-chunk columns: nothing to stream (tiny matrix) — one-shot
         from .commit import commit
         c = commit(coeffs, enc)
-        if keep_comm:
+        if keep_comm == "device":
+            pass                       # one-shot comm is already on device
+        elif keep_comm:
             c.comm = np.asarray(c.comm)
         else:
             c.comm = None
@@ -115,7 +122,7 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
     ops = enc.device_operands()
 
     def make_batch_fn(rows_b: int, first: bool, k: int, tail_len: int,
-                      with_comm: bool):
+                      comm_mode: str):
         nwords_pad = k * 256 - ((32 if first else 0) + rows_b * W) // 4
 
         def f(cm_rows, counters, operands):
@@ -131,10 +138,15 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
             if nwords_pad:
                 words = jnp.pad(words, ((0, 0), (0, nwords_pad)))
             cvs = chunk_cvs_words(words, counters, tail_len)
-            # keep_comm=False: comm_b stays an internal temp (a live output
+            # comm_mode "none": comm_b stays an internal temp (a live output
             # buffer per enqueued batch would accumulate in HBM — async
-            # dispatch runs well ahead of execution)
-            return (comm_b, cvs) if with_comm else cvs
+            # dispatch runs well ahead of execution).  "device": keep it,
+            # narrowed to uint16 (limbs are 16-bit).
+            if comm_mode == "host":
+                return comm_b, cvs
+            if comm_mode == "device":
+                return comm_b.astype(jnp.uint16), cvs
+            return cvs
         return f
 
     # In-flight window: how many batches may be enqueued beyond the one
@@ -148,15 +160,18 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
     inflight = int(_os.environ.get(
         "LCPC_STREAM_INFLIGHT", "0" if device_coeffs else "1"))
 
+    comm_mode = ("device" if keep_comm == "device"
+                 else "host" if keep_comm else "none")
     cv_parts = []
     comm_parts = [] if keep_comm else None
     pending: list = []
 
     def _drain_one():
         h = pending.pop(0)
-        if keep_comm:
+        if comm_mode == "host":
             comm_parts.append(np.asarray(h))
         else:
+            # scalar readback bounds enqueued-but-unexecuted batches
             _ = int(np.asarray(jax.device_get(h[0, 0, 0])))
 
     chunk0 = 0
@@ -171,20 +186,23 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
         # jit key excludes chunk0: interior batches share one compilation
         # (counters ride as a traced argument)
         fn = _enc_jit(enc,
-                      f"streamed_batch_{rows_b}_{first}_{tail_len}_{keep_comm}",
+                      f"streamed_batch_{rows_b}_{first}_{tail_len}_{comm_mode}",
                       lambda: make_batch_fn(rows_b, first, k, tail_len,
-                                            keep_comm))
+                                            comm_mode))
         counters = jnp.arange(chunk0, chunk0 + k, dtype=jnp.uint32)
-        if keep_comm:
+        if comm_mode == "host":
             comm_b, cvs = fn(coeff_mat[r_start:r_end], counters, ops)
             try:
                 comm_b.copy_to_host_async()
             except AttributeError:
                 pass
             pending.append(comm_b)
+        elif comm_mode == "device":
+            comm_b, cvs = fn(coeff_mat[r_start:r_end], counters, ops)
+            comm_parts.append(comm_b)
+            pending.append(cvs)
         else:
             cvs = fn(coeff_mat[r_start:r_end], counters, ops)
-            # scalar readback bounds enqueued-but-unexecuted batches
             pending.append(cvs)
         while len(pending) > inflight:
             _drain_one()
@@ -199,7 +217,13 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
             merge_chunk_cvs(jnp.concatenate(parts, axis=1)), n_cols)))
     hashes_dev = finish(cv_parts)
 
-    comm = np.concatenate(comm_parts, axis=0) if keep_comm else None
+    if comm_mode == "host":
+        comm = np.concatenate(comm_parts, axis=0)
+    elif comm_mode == "device":
+        comm = (comm_parts[0] if len(comm_parts) == 1
+                else jnp.concatenate(comm_parts, axis=0))
+    else:
+        comm = None
     return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
                     n_cols=n_cols, n_per_row=n_per_row, hashes_dev=hashes_dev)
 

@@ -76,6 +76,13 @@ _TILE2 = int(os.environ.get("LCPC_PALLAS2_TILE", "1024"))
 _PACK = 128
 
 
+def _vmem_params():
+    """Raise the Mosaic scoped-VMEM cap (default 16 MB; v5e has 128 MB
+    physical VMEM).  Shared with ops/ntt_pallas3.py."""
+    mb = int(os.environ.get("LCPC_VMEM_LIMIT_MB", "100"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb << 20)
+
+
 # ---------------------------------------------------------------------------
 # table multiply
 # ---------------------------------------------------------------------------
@@ -327,6 +334,7 @@ def _in_tile_call(spec: FieldSpec, n: int, batch: int, halves: tuple,
         ],
         out_specs=pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
                                memory_space=pltpu.VMEM),
+        compiler_params=_vmem_params(),
     )
 
 
@@ -351,6 +359,7 @@ def _large_pair_call(spec: FieldSpec, n: int, half: int, batch: int):
         ],
         out_specs=pl.BlockSpec((1, L, 1, 2, T), lambda t, b, g: (b, 0, g, 0, t),
                                memory_space=pltpu.VMEM),
+        compiler_params=_vmem_params(),
     )
 
     def wrapped(x, w):
@@ -439,6 +448,7 @@ def _in_tile_call_mul(spec: FieldSpec, n: int, batch: int, halves: tuple,
         ],
         out_specs=pl.BlockSpec((1, L, T), lambda b, j: (b, 0, j),
                                memory_space=pltpu.VMEM),
+        compiler_params=_vmem_params(),
     )
 
 

@@ -60,6 +60,14 @@ _N1MAX = int(os.environ.get("LCPC_PALLAS3_N1MAX", "1024"))
 _N2MAX = int(os.environ.get("LCPC_PALLAS3_N2MAX", "256"))
 
 
+def _vmem_params():
+    """Raise the Mosaic scoped-VMEM cap: the default 16 MB limit is far
+    below v5e's 128 MB physical VMEM, and the unrolled limb-stage bodies
+    hold ~15 block-sized temps live (measured 29.6 MB at n2=256)."""
+    mb = int(os.environ.get("LCPC_VMEM_LIMIT_MB", "100"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb << 20)
+
+
 def _split3(n: int) -> tuple | None:
     """(n1, n2) with n1*n2 = n, n1 the lane-axis (pass B) factor."""
     if n & (n - 1) or n < (1 << 15) or n > _N1MAX * _N2MAX:
@@ -470,6 +478,7 @@ def _call_a(spec: FieldSpec, n1: int, n2: int, batch: int, halves: tuple,
         ],
         out_specs=pl.BlockSpec((1, L, n2, TL), lambda j, b: (b, 0, 0, j),
                                memory_space=pltpu.VMEM),
+        compiler_params=_vmem_params(),
     )
 
 
@@ -494,6 +503,7 @@ def _call_b(spec: FieldSpec, n1: int, n2: int, batch: int,
         ],
         out_specs=pl.BlockSpec((1, L, S2, n1), lambda k, b: (b, 0, k, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_vmem_params(),
     )
 
 

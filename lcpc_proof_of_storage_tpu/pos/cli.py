@@ -242,6 +242,17 @@ def main(argv=None) -> None:
         sys.exit(f"error: verification failed: {exc}")
     except ConnectionError as exc:
         sys.exit(f"error: cannot reach server: {exc}")
+    finally:
+        if args.verbose >= 2:
+            # phase-attribution report (the reference client's benchmark
+            # {bottleneck=disk|cpu|network} spans, client.rs:61-81)
+            from ..utils.profiling import GLOBAL_PHASES
+            report = GLOBAL_PHASES.report()
+            if report:
+                print("-- phase report --", file=sys.stderr)
+                for k, v in report.items():
+                    print(f"  {k}: {v['seconds']:.4f}s x{v['count']}",
+                          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -31,6 +31,7 @@ from ..online import (FIXED_RANDOM_SEED_CHANGE_LATER, POS_FIELD,
 from ..storage import data_bytes_to_limbs_np
 from . import shared
 from ...crypto.chacha import chacha8_rng_from_u64
+from ...utils.profiling import phase
 
 
 class ClientSession:
@@ -86,35 +87,63 @@ class ClientSession:
     async def upload_file(self, path: Path, n_pre: int | None = None,
                           n_enc: int | None = None,
                           use_chunks: bool = False) -> FileMetadata:
-        data = Path(path).read_bytes()
-        n_pre, n_enc, n_required = _resolve_dims(data, n_pre, n_enc)
-        cols_to_verify = online.get_column_indices_from_random_seed(
-            FIXED_RANDOM_SEED_CHANGE_LATER, n_required, n_enc)
-        local_leaves = online.leaves_for_file_data(
-            data, n_pre, n_enc, cols_to_verify, POS_FIELD)
-
+        """Chunked mode streams: the leaves precompute runs one-pass from
+        disk (online.streaming_leaves_for_file) and chunks stream straight
+        from the file — the client never holds the whole file, unlike the
+        reference which reads it fully even in chunked mode
+        (client.rs:70-83; its chunked server handler was todo!()).  Phase
+        spans mirror the reference's benchmark{bottleneck=disk|cpu|network}
+        instrumentation (client.rs:61-81)."""
+        path = Path(path)
         if use_chunks:
-            reply = await self.rpc(shared.start_upload_new_file_by_chunks(
-                str(path), n_pre, n_enc, len(data)))
+            size = path.stat().st_size
+            n_pre, n_enc, n_required = _resolve_dims_len(size, n_pre, n_enc)
+            cols_to_verify = online.get_column_indices_from_random_seed(
+                FIXED_RANDOM_SEED_CHANGE_LATER, n_required, n_enc)
+            with phase("cpu"):
+                local_leaves = online.streaming_leaves_for_file(
+                    path, n_pre, n_enc, cols_to_verify, POS_FIELD)
+            with phase("network"):
+                reply = await self.rpc(shared.start_upload_new_file_by_chunks(
+                    str(path), n_pre, n_enc, size))
             ulid = reply["file_ulid"]
             CHUNK = 1 << 16
-            for off in range(0, len(data), CHUNK):
-                last = off + CHUNK >= len(data)
-                reply = await self.rpc(shared.upload_file_chunk(
-                    ulid, data[off : off + CHUNK], last))
+            sent = 0
+            with open(path, "rb") as f:
+                while True:
+                    with phase("disk"):
+                        chunk = f.read(CHUNK)
+                    sent += len(chunk)
+                    last = sent >= size
+                    with phase("network"):
+                        reply = await self.rpc(shared.upload_file_chunk(
+                            ulid, chunk, last))
+                    if last:
+                        break
             meta = shared.parse_metadata(reply["file_metadata"])
         else:
-            reply = await self.rpc(shared.upload_new_file(
-                str(path), data, n_pre, n_enc))
+            with phase("disk"):
+                data = path.read_bytes()
+            n_pre, n_enc, n_required = _resolve_dims(data, n_pre, n_enc)
+            cols_to_verify = online.get_column_indices_from_random_seed(
+                FIXED_RANDOM_SEED_CHANGE_LATER, n_required, n_enc)
+            with phase("cpu"):
+                local_leaves = online.leaves_for_file_data(
+                    data, n_pre, n_enc, cols_to_verify, POS_FIELD)
+            with phase("network"):
+                reply = await self.rpc(shared.upload_new_file(
+                    str(path), data, n_pre, n_enc))
             meta = shared.parse_metadata(reply["file_metadata"])
 
         # request proof and verify against precomputed leaves
-        reply = await self.rpc(shared.request_proof(meta, cols_to_verify))
+        with phase("network"):
+            reply = await self.rpc(shared.request_proof(meta, cols_to_verify))
         columns = shared.parse_columns(reply["columns"])
-        online.client_verify_commitment(
-            meta.root, local_leaves, cols_to_verify, columns,
-            online.get_pos_soundness_n_cols(meta.num_columns,
-                                            meta.num_encoded_columns))
+        with phase("cpu"):
+            online.client_verify_commitment(
+                meta.root, local_leaves, cols_to_verify, columns,
+                online.get_pos_soundness_n_cols(meta.num_columns,
+                                                meta.num_encoded_columns))
         self._store(meta)
         return meta
 
@@ -339,6 +368,10 @@ class ClientSession:
 
 def _resolve_dims(data: bytes, n_pre, n_enc):
     """client.rs:85-139 dims resolution."""
+    return _resolve_dims_len(len(data), n_pre, n_enc)
+
+
+def _resolve_dims_len(file_len: int, n_pre, n_enc):
     if n_pre is not None and n_enc is not None:
         assert n_pre >= 1 and n_enc >= 2 and n_enc & (n_enc - 1) == 0
         assert n_enc > n_pre
@@ -349,7 +382,7 @@ def _resolve_dims(data: bytes, n_pre, n_enc):
         assert n_enc >= 2 and n_enc & (n_enc - 1) == 0
         n_pre = n_enc // 2
     else:
-        n_pre, n_enc, _ = online.get_aspect_ratio_default_from_file_len(len(data))
+        n_pre, n_enc, _ = online.get_aspect_ratio_default_from_file_len(file_len)
     return n_pre, n_enc, online.get_pos_soundness_n_cols(n_pre, n_enc)
 
 

@@ -150,9 +150,15 @@ async def dispatch(state: ServerState, msg: dict) -> dict | None:
     handler = handlers.get(t)
     if handler is None:
         return shared.error_response(f"unknown message type {t}")
-    result = handler(state, msg)
-    if asyncio.iscoroutine(result):
-        result = await result
+    # per-handler phase span (the reference #[tracing::instrument]s every
+    # handler, server.rs:82-280) — `pos server -vv` prints the report
+    from ...utils.profiling import phase
+    import logging
+    logging.getLogger("pos.server").debug("handling %s", t)
+    with phase(t, actor="server"):
+        result = handler(state, msg)
+        if asyncio.iscoroutine(result):
+            result = await result
     return result
 
 

@@ -107,6 +107,44 @@ def leaves_for_file_data(data: bytes, n_pre: int, n_enc: int,
             for c in requested]
 
 
+def streaming_leaves_for_file(path, n_pre: int, n_enc: int,
+                              requested: list[int],
+                              spec: FieldSpec = POS_FIELD,
+                              batch_rows: int = 128) -> list[bytes]:
+    """leaves_for_file_data without materializing the file: encoded row
+    batches stream from disk into an Only-columns digest accumulator
+    (constant memory in the file size).
+
+    This is the one-pass precompute SURVEY's appendix asks chunked upload
+    to use — the reference's client reads the whole file and runs a full
+    in-RAM commit even in chunked mode (client.rs:70-83).  Bit-identical
+    to leaves_for_file_data (the streamed-vs-monolithic oracle family,
+    row_generator_iter.rs:237-284)."""
+    from .storage import ColumnDigestAccumulator, _encode_batch
+    L = spec.num_limbs16
+    cap = spec.data_byte_capacity
+    row_bytes = n_pre * cap
+    enc = _encode_batch(spec, n_enc)
+    acc = ColumnDigestAccumulator(n_enc, spec, columns=list(requested))
+    any_data = False
+    with open(path, "rb") as f:
+        while True:
+            data = f.read(row_bytes * batch_rows)
+            if not data:
+                break
+            any_data = True
+            rows = -(-len(data) // row_bytes)
+            rows_p = 1 if rows <= 1 else 1 << (rows - 1).bit_length()
+            mat = np.zeros((rows_p, n_pre, L), np.uint32)
+            limbs = data_bytes_to_limbs_np(data, spec)
+            mat.reshape(-1, L)[: len(limbs)] = limbs
+            encoded = np.asarray(enc(mat))[:rows]
+            for i in range(rows):
+                acc.update(encoded[i])
+    assert any_data, "cannot convert empty file to commit"
+    return acc.get_column_digests()
+
+
 def columns_with_path_for_file_data(data: bytes, n_pre: int, n_enc: int,
                                     requested: list[int],
                                     spec: FieldSpec = POS_FIELD) -> list[LcColumn]:

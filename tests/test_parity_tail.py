@@ -173,3 +173,27 @@ def test_ft253_verifiable_poly_eval():
     got = online.vector_multiply(online.decode_row(result_vec, spec=spec),
                                  right, spec=spec)
     assert got == expect
+
+
+def test_streaming_leaves_matches_in_ram(tmp_path):
+    """online.streaming_leaves_for_file (constant-memory chunked-upload
+    precompute) == leaves_for_file_data (in-RAM commit path), including a
+    partial final element and partial final row."""
+    import random
+
+    from lcpc_proof_of_storage_tpu.pos import online
+    from lcpc_proof_of_storage_tpu.pos.online import POS_FIELD
+
+    rnd = random.Random(77)
+    for size in (1, 500, 7 * 8 * 16 + 3, 20_000):
+        data = bytes(rnd.randrange(256) for _ in range(size))
+        p = tmp_path / f"f{size}.bin"
+        p.write_bytes(data)
+        n_pre, n_enc = 8, 32
+        requested = online.get_column_indices_from_random_seed(
+            1337, online.get_pos_soundness_n_cols(n_pre, n_enc), n_enc)
+        ref = online.leaves_for_file_data(data, n_pre, n_enc, requested)
+        # small batch_rows forces multiple streamed batches
+        got = online.streaming_leaves_for_file(p, n_pre, n_enc, requested,
+                                               POS_FIELD, batch_rows=4)
+        assert got == ref, size

@@ -11,6 +11,7 @@ boundaries are not row-aligned without a 128-row stride.
 
 import random
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -176,6 +177,49 @@ def test_streamed_keep_comm_false_prove_verify():
            [c.path for c in full_proof.columns]
 
     got = verify(root, outer, inner, slim_proof, enc, tr())
+    expect = 0
+    for c in reversed(coeffs):
+        expect = (expect * x + c) % spec.modulus
+    assert got == expect
+
+
+def test_streamed_keep_comm_device_prove_verify():
+    """keep_comm="device": the encoded matrix stays device-resident as
+    uint16 and prove() serves columns + Merkle paths from it in one fused
+    gather (no re-encode).  Proof must be bit-identical to the one-shot
+    commitment's."""
+    spec = FT255
+    rnd = random.Random(10)
+    n_rows, n_per_row, n_cols = 256, 8, 32
+    enc = LigeroEncoding(spec, n_per_row, n_cols)
+    coeffs = [rnd.randrange(spec.modulus) for _ in range(n_per_row * n_rows)]
+    one = commit(coeffs, enc)
+    dev = commit_streamed(coeffs, enc, target_batch_rows=96,
+                          keep_comm="device")
+    assert np.array_equal(one.hashes, dev.hashes)
+    assert dev.comm is not None and dev.comm.dtype == jnp.uint16
+    assert np.array_equal(np.asarray(dev.comm, np.uint32),
+                          np.asarray(one.comm))
+    root = dev.get_root().root
+
+    x = rnd.randrange(spec.modulus)
+    inner = [pow(x, i, spec.modulus) for i in range(n_per_row)]
+    outer = [pow(x, n_per_row * i, spec.modulus) for i in range(n_rows)]
+
+    def tr():
+        t = Transcript(b"test transcript")
+        t.append_message(b"polycommit", root)
+        t.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "little"))
+        return t
+
+    dev_proof = prove(dev, outer, enc, tr())
+    full_proof = prove(one, outer, enc, tr())
+    assert dev_proof.p_eval == full_proof.p_eval
+    assert [c.col for c in dev_proof.columns] == \
+           [c.col for c in full_proof.columns]
+    assert [c.path for c in dev_proof.columns] == \
+           [c.path for c in full_proof.columns]
+    got = verify(root, outer, inner, dev_proof, enc, tr())
     expect = 0
     for c in reversed(coeffs):
         expect = (expect * x + c) % spec.modulus
