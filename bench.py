@@ -31,7 +31,7 @@ def run_bench(log2n: int | None = None, field_name: str | None = None,
     if iters is None:
         iters = int(os.environ.get("LCPC_BENCH_ITERS", "3"))
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lcpc_tpu_xla_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/lcpc_tpu_xla_cache")
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])

@@ -41,7 +41,7 @@ def run_protocol(log2s=None, field_name=None, code=None, iters=None,
     if iters is None:
         iters = int(os.environ.get("LCPC_PROTO_ITERS", "3"))
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lcpc_tpu_xla_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/lcpc_tpu_xla_cache")
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -102,7 +102,8 @@ def run_protocol(log2s=None, field_name=None, code=None, iters=None,
             # has 125 GB).  commit_s then includes the device->host stream
             # of the encoded batches — tunnel-bandwidth-bound here, PCIe on
             # a direct-attached TPU.
-            keep = os.environ.get("LCPC_PROTO_KEEP_COMM") == "1"
+            keep_env = os.environ.get("LCPC_PROTO_KEEP_COMM", "")
+            keep = "device" if keep_env == "device" else keep_env == "1"
             do_commit = lambda: commit_streamed(dev_coeffs, enc,
                                                 keep_comm=keep)
         else:

@@ -11,7 +11,7 @@ LOG=${1:-/tmp/campaign_r3.log}
 shift || true
 for attempt in $(seq 1 12); do
   echo "=== attempt $attempt $(date -u +%H:%M:%S) ===" >> "$LOG"
-  python -u scripts/r3_campaign.py "$@" >> "$LOG" 2>&1
+  python -u "scripts/${CAMPAIGN:-r4_campaign}.py" "$@" >> "$LOG" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then echo "=== campaign finished rc=0 ===" >> "$LOG"; exit 0; fi
   if grep -q "not in the list of known backends" "$LOG"; then

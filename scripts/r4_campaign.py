@@ -1,0 +1,278 @@
+"""Round-4 TPU measurement campaign in ONE process (same machinery as
+scripts/r3_campaign.py: per-item try/except, resumable JSONL results).
+
+Round-4 focus (VERDICT.md "Next round" #1/#2/#5): measure the v3 NTT
+kernel (two-kernel four-step with in-kernel transposes, built at the end
+of round 3 but never run on hardware), the keep_comm="device" Brakedown
+prove path, and a commit phase breakdown to locate the remaining time.
+
+Usage:  PYTHONPATH=/root/repo python scripts/r4_campaign.py [items...]
+Results: /tmp/lcpc_r4_measure/campaign.jsonl (+ stdout log)
+"""
+
+import gc
+import json
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/lcpc_tpu_xla_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+RESULTS = os.environ.get("LCPC_CAMPAIGN_OUT",
+                         "/tmp/lcpc_r4_measure/campaign.jsonl")
+
+
+def emit(obj) -> None:
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(obj) + "\n")
+    print("RESULT", json.dumps(obj), flush=True)
+
+
+def item(name):
+    def deco(fn):
+        ITEMS[name] = fn
+        return fn
+    return deco
+
+
+ITEMS: dict = {}
+
+
+def _steady(g, *args, reps=3):
+    """compile+run once, then best-of-reps seconds (forced completion via
+    the int() readback of the scalar the jitted g returns)."""
+    t = time.time()
+    _ = int(g(*args))
+    compile_s = time.time() - t
+    best = 1e9
+    for _ in range(reps):
+        t = time.time()
+        _ = int(g(*args))
+        best = min(best, time.time() - t)
+    return best, compile_s
+
+
+@item("validate_v3")
+def _validate_v3():
+    """v3 kernel == XLA oracle on real hardware (ft63 + ft255, plain and
+    pruned) — the round-3 tail built it but never ran it on the chip."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.fields.field import FT63, FT255
+    from lcpc_proof_of_storage_tpu.fields.limb import limb_field
+    from lcpc_proof_of_storage_tpu.ops.ntt import ntt
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas3 import (
+        ntt_pallas3, v3_applicable, v3_device_tables)
+
+    for spec, n, b in ((FT63, 1 << 15, 4), (FT255, 1 << 15, 2)):
+        assert v3_applicable(n)
+        lf = limb_field(spec)
+        rnd = random.Random(0)
+        vals = [[rnd.randrange(spec.modulus) for _ in range(n)]
+                for _ in range(b)]
+        X = jnp.stack([lf.array(v) for v in vals])
+        ref = np.asarray(jax.jit(lambda a: ntt(a, spec))(X))
+        got = np.asarray(jax.jit(lambda a: ntt_pallas3(a, spec))(X))
+        ok = bool(np.array_equal(got, ref))
+        emit({"item": "validate_v3", "field": spec.name, "n": n, "ok": ok})
+        if not ok:
+            raise SystemExit(f"MISMATCH v3 {spec.name} n={n}")
+        # pruned (the commit-encode hot configuration: nonzero = n/4)
+        Xp = jnp.asarray(np.asarray(X).copy()).at[:, n // 4 :, :].set(0)
+        refp = np.asarray(jax.jit(lambda a: ntt(a, spec))(Xp))
+        tabs = v3_device_tables(spec, n, n_nonzero=n // 4)
+        gotp = np.asarray(jax.jit(
+            lambda a, tb: ntt_pallas3(a, spec, n_nonzero=n // 4, tables=tb)
+        )(Xp, tabs))
+        okp = bool(np.array_equal(gotp, refp))
+        emit({"item": "validate_v3", "field": spec.name, "n": n,
+              "pruned": True, "ok": okp})
+        if not okp:
+            raise SystemExit(f"MISMATCH v3 pruned {spec.name} n={n}")
+
+
+@item("ntt_v3_micro")
+def _ntt_v3_micro():
+    """Raw NTT timing, v2 vs v3, at the commit-encode shapes (pruned to
+    n/4 nonzero like the rho=1/4 encode): n_cols 2^15..2^18, constant
+    2^22 total elements per call."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.fields.field import FT255
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas2 import (
+        ntt_pallas2, v2_device_tables)
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas3 import (
+        ntt_pallas3, v3_device_tables)
+
+    spec = FT255
+    L = spec.num_limbs16
+    rng = np.random.default_rng(0)
+    for log_n in (15, 16, 17, 18):
+        n = 1 << log_n
+        b = (1 << 22) // n
+        nz = n // 4
+        xh = rng.integers(0, 1 << 16, (b, n, L), dtype=np.uint32)
+        xh[:, nz:, :] = 0
+        x = jnp.asarray(xh)
+        tb2 = v2_device_tables(spec, n, n_nonzero=nz)
+        tb3 = v3_device_tables(spec, n, n_nonzero=nz)
+        g2 = jax.jit(lambda a, tb: ntt_pallas2(
+            a, spec, n_nonzero=nz, tables=tb).sum(dtype=jnp.uint32))
+        g3 = jax.jit(lambda a, tb: ntt_pallas3(
+            a, spec, n_nonzero=nz, tables=tb).sum(dtype=jnp.uint32))
+        s2, c2 = _steady(g2, x, tb2)
+        s3, c3 = _steady(g3, x, tb3)
+        emit({"item": "ntt_v3_micro", "n": n, "batch": b,
+              "v2_s": round(s2, 4), "v3_s": round(s3, 4),
+              "v2_compile_s": round(c2, 1), "v3_compile_s": round(c3, 1),
+              "v3_speedup": round(s2 / s3, 3)})
+
+
+@item("profile_commit20")
+def _profile_commit20():
+    import profile_commit
+    sys.argv = ["profile_commit.py", "20"]
+    profile_commit.main()
+    emit({"item": "profile_commit20", "ok": True, "note": "see stdout log"})
+
+
+def _bench_with_kernel(log2n, iters, kernel=None):
+    import bench
+    if kernel:
+        os.environ["LCPC_NTT_KERNEL"] = kernel
+    try:
+        return bench.run_bench(log2n, "ft255", iters)
+    finally:
+        os.environ.pop("LCPC_NTT_KERNEL", None)
+
+
+@item("bench20_v3")
+def _bench20_v3():
+    emit({"item": "bench20_v3", **_bench_with_kernel(20, 3, "v3")})
+
+
+@item("bench24_v3")
+def _bench24_v3():
+    emit({"item": "bench24_v3", **_bench_with_kernel(24, 2, "v3")})
+
+
+@item("bench25_v3")
+def _bench25_v3():
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    try:
+        emit({"item": "bench25_v3", **_bench_with_kernel(25, 2, "v3")})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+
+
+@item("bench26_v3")
+def _bench26_v3():
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    try:
+        emit({"item": "bench26_v3", **_bench_with_kernel(26, 2, "v3")})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+
+
+@item("brakedown25_dev")
+def _brakedown25_dev():
+    """Brakedown 2^25 with keep_comm="device": the encoded matrix stays
+    HBM-resident as uint16 and prove() serves columns+paths in one fused
+    gather instead of re-encoding (~2 commit-equivalents).  Target:
+    prove < 2 s (VERDICT #5; ref 0.281 s from 256 GB host RAM)."""
+    from bench_protocol import run_protocol
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    os.environ["LCPC_PROTO_STREAM_BYTES"] = "2e9"
+    os.environ["LCPC_PROTO_KEEP_COMM"] = "device"
+    try:
+        rows = run_protocol(log2s=[25], code="brakedown", iters=2)
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+        os.environ.pop("LCPC_PROTO_STREAM_BYTES", None)
+        os.environ.pop("LCPC_PROTO_KEEP_COMM", None)
+    for r in rows:
+        emit({"item": "brakedown25_dev", **r})
+
+
+@item("ligero25_dev")
+def _ligero25_dev():
+    """Ligero 2^25 with keep_comm="device" (encoded uint16 = 4.3 GB fits
+    HBM): prove gathers instead of re-encoding."""
+    from bench_protocol import run_protocol
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    os.environ["LCPC_PROTO_KEEP_COMM"] = "device"
+    try:
+        rows = run_protocol(log2s=[25], iters=2)
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+        os.environ.pop("LCPC_PROTO_KEEP_COMM", None)
+    for r in rows:
+        emit({"item": "ligero25_dev", **r})
+
+
+DEFAULT_ORDER = [
+    "validate_v3", "ntt_v3_micro", "bench20_v3", "profile_commit20",
+    "bench24_v3", "bench25_v3", "bench26_v3", "brakedown25_dev",
+    "ligero25_dev",
+]
+
+
+def main() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    names = sys.argv[1:] or DEFAULT_ORDER
+    t0 = time.time()
+    print(f"# campaign start {time.ctime()}; items: {names}", flush=True)
+    _ = int(jnp.arange(4).sum())
+    print(f"# session warmup: {time.time()-t0:.0f}s on {jax.devices()[0]}",
+          flush=True)
+
+    done = set()
+    if os.path.exists(RESULTS):                  # resume: skip finished items
+        for line in open(RESULTS):
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if row.get("done"):
+                done.add(row["item"])
+
+    for name in names:
+        if name in done:
+            print(f"### {name} already done, skip", flush=True)
+            continue
+        t = time.time()
+        print(f"\n### {name} start {time.ctime()}", flush=True)
+        try:
+            ITEMS[name]()
+            status = "ok"
+            emit({"item": name, "done": True,
+                  "secs": round(time.time() - t, 1)})
+        except BaseException as e:              # incl. SystemExit from validate
+            status = f"FAIL {type(e).__name__}: {e}"
+            traceback.print_exc()
+            emit({"item": name, "error": str(e)})
+        gc.collect()
+        print(f"### {name} {status} in {time.time()-t:.0f}s", flush=True)
+
+    print(f"\n# campaign done in {(time.time()-t0)/60:.1f} min", flush=True)
+
+
+if __name__ == "__main__":
+    main()

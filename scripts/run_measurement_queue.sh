@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/lcpc_r3_measure}
 mkdir -p "$OUT"
 export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
-export JAX_COMPILATION_CACHE_DIR=/tmp/lcpc_tpu_xla_cache
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/lcpc_tpu_xla_cache
 
 run() {  # run <name> <cmd...>
   local name=$1; shift

@@ -130,10 +130,13 @@ def test_brakedown_ml_shape():
     assert n_rows * n_per_row == 1 << lgl
 
 
-@pytest.mark.parametrize("packed", ["1", "0"], ids=["packed", "unpacked"])
-def test_gather_matvec_fused_matches(monkeypatch, packed):
-    """Fused pallas expander matvec == XLA path (interpret mode), in both
-    the packed-pair-operand layout (default) and the plain limb layout."""
+@pytest.mark.parametrize(
+    "mode", ["onepass", "onepass_chunked", "packed", "unpacked"])
+def test_gather_matvec_fused_matches(monkeypatch, mode):
+    """Fused pallas expander matvec == XLA path (interpret mode), in the
+    one-pass layout (default; FT63 exercises the kg=4 small-L grouping and
+    `_chunked` forces the output-row chunk loop incl. the clamped tail),
+    the packed group layout, and the plain limb group layout."""
     from jax.experimental import pallas as pl
     orig = pl.pallas_call
 
@@ -142,14 +145,25 @@ def test_gather_matvec_fused_matches(monkeypatch, packed):
         return orig(*a, **k)
 
     monkeypatch.setattr(pl, "pallas_call", interp)
-    monkeypatch.setenv("LCPC_EXPANDER_PACKED", packed)
+    monkeypatch.setenv("LCPC_EXPANDER_PACKED",
+                       "0" if mode == "unpacked" else "1")
+    monkeypatch.setenv("LCPC_EXPANDER_ONEPASS",
+                       "1" if mode.startswith("onepass") else "0")
+    if mode == "onepass_chunked":
+        # force mc = 2 tiles of 128 over a 5-tile m_pad: 3 chunks, the last
+        # one start-clamped (recomputes an overlapping window)
+        monkeypatch.setenv("LCPC_EXPANDER_CHUNK_BYTES", "3e5")
     import lcpc_proof_of_storage_tpu.ops.expander_pallas as ep
+    monkeypatch.setattr(ep, "_TM_OP",
+                        128 if mode == "onepass_chunked" else ep._TM_OP)
     ep._group_call.cache_clear()
     ep._group_call_packed.cache_clear()
+    ep._onepass_call.cache_clear()
     from lcpc_proof_of_storage_tpu.ops.expander import gather_matvec, generate, to_gather
     spec = FT63
     lf = limb_field(spec)
-    pre, post = generate(300, 0, spec, SDIG_CODE_3)
+    n_in = 3000 if mode == "onepass_chunked" else 300
+    pre, post = generate(n_in, 0, spec, SDIG_CODE_3)
     gm = to_gather(pre[0], spec)
     rnd = random.Random(0)
     x = [[rnd.randrange(spec.modulus) for _ in range(gm.cols)] for _ in range(2)]
@@ -158,4 +172,5 @@ def test_gather_matvec_fused_matches(monkeypatch, packed):
     got = np.asarray(ep.gather_matvec_fused(gm, X, spec))
     ep._group_call.cache_clear()
     ep._group_call_packed.cache_clear()
+    ep._onepass_call.cache_clear()
     assert np.array_equal(got, ref)
