@@ -130,7 +130,7 @@ class LigeroEncoding(LcEncoding):
             return self.encode_wide(rows)
         if _use_pallas(self.n_cols):
             import os
-            kern = os.environ.get("LCPC_NTT_KERNEL", "v2")
+            kern = os.environ.get("LCPC_NTT_KERNEL", "v3")
             # rows carry coefficients only in the first n_per_row slots
             if kern == "v3":
                 from ..ops.ntt_pallas3 import ntt_pallas3, v3_applicable
@@ -153,11 +153,11 @@ class LigeroEncoding(LcEncoding):
         overflow compile payloads).  Cached per encoding."""
         import os
         if (self.mesh is not None or not _use_pallas(self.n_cols)
-                or os.environ.get("LCPC_NTT_KERNEL", "v2") == "v1"):
+                or os.environ.get("LCPC_NTT_KERNEL", "v3") == "v1"):
             return ()
         tabs = getattr(self, "_v2_dev_tables", None)
         if tabs is None:
-            if os.environ.get("LCPC_NTT_KERNEL", "v2") == "v3":
+            if os.environ.get("LCPC_NTT_KERNEL", "v3") == "v3":
                 from ..ops.ntt_pallas3 import v3_applicable, v3_device_tables
                 if v3_applicable(self.n_cols):
                     tabs = v3_device_tables(self.spec, self.n_cols,

@@ -151,14 +151,13 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
 
     # In-flight window: how many batches may be enqueued beyond the one
     # being synced.  0 = strict per-batch sync (round-2 behavior; the NTT
-    # transients of unbounded in-flight batches OOM HBM).  Host-coeff mode
-    # defaults to 1 so the NEXT batch's host->device upload overlaps the
-    # current batch's encode (uploads dominate through the axon tunnel);
-    # coefficients aren't device-resident there, so the extra batch of
-    # transients has headroom.
+    # transients of unbounded in-flight batches OOM HBM).  Default 1: one
+    # extra batch of transients overlaps dispatch/upload with the current
+    # batch's encode — measured faster for both host-coeff uploads and
+    # device-resident streams (r4: 2^25 3.63 s, 2^26 7.16 s vs 5.09/9.37
+    # without).  Set LCPC_STREAM_INFLIGHT=0 if a huge-n run OOMs HBM.
     import os as _os
-    inflight = int(_os.environ.get(
-        "LCPC_STREAM_INFLIGHT", "0" if device_coeffs else "1"))
+    inflight = int(_os.environ.get("LCPC_STREAM_INFLIGHT", "1"))
 
     comm_mode = ("device" if keep_comm == "device"
                  else "host" if keep_comm else "none")

@@ -32,7 +32,9 @@ np2(ceil(npr/n1)) nonzero rows (same semantics as ops/ntt_pallas.py:426).
 Bit-identical to ops.ntt.ntt (oracle: tests/test_ntt_pallas3.py).  Forward
 only (the decode path keeps the v2 stage pipeline).  Replaces fffft's
 recursive NTT for the commit encode hot path
-(lcpc-ligero-pc/src/lib.rs:162-164) at n in [2^15, 2^18] by default.
+(lcpc-ligero-pc/src/lib.rs:162-164) at n in [2^15, 2^20] (the extended
+n > 2^18 window uses n1 = 2048).  Measured on TPU v5e (campaign r4):
+1.21x over v2 at n = 2^15/2^16, 1.63x at 2^17, 1.73x at 2^18.
 """
 
 from __future__ import annotations
@@ -58,6 +60,12 @@ _S2_B = int(os.environ.get("LCPC_PALLAS3_S2B", "8"))
 #: factor bounds: n1 <= _N1MAX (kernel B tables), n2 <= _N2MAX (kernel A VMEM)
 _N1MAX = int(os.environ.get("LCPC_PALLAS3_N1MAX", "1024"))
 _N2MAX = int(os.environ.get("LCPC_PALLAS3_N2MAX", "256"))
+#: extended window for n in (2^18, 2^20]: bigger kernel-B stage tables
+#: (n1=2048) and a taller kernel-A block (n2 up to 512, ~60 MB scoped VMEM)
+_N1MAX_XL = int(os.environ.get("LCPC_PALLAS3_N1MAX_XL", "2048"))
+_N2MAX_XL = int(os.environ.get("LCPC_PALLAS3_N2MAX_XL", "512"))
+#: smallest n the v3 factorization pays off for (v2 wins below)
+_NMIN = 1 << 15
 
 
 def _vmem_params():
@@ -70,8 +78,15 @@ def _vmem_params():
 
 def _split3(n: int) -> tuple | None:
     """(n1, n2) with n1*n2 = n, n1 the lane-axis (pass B) factor."""
-    if n & (n - 1) or n < (1 << 15) or n > _N1MAX * _N2MAX:
+    if n & (n - 1) or n < _NMIN:
         return None
+    if n > _N1MAX * _N2MAX:
+        # extended window (2^27-2^29 commit column counts): n1 = 2048
+        n1 = _N1MAX_XL
+        n2 = n // n1
+        if n2 > _N2MAX_XL:
+            return None
+        return n1, n2
     if n >= _N1MAX * 128:
         n1 = _N1MAX
     else:

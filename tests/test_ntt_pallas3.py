@@ -83,4 +83,30 @@ def test_v3_split_bounds():
     for lg in range(15, 19):
         n1, n2 = _split3(1 << lg)
         assert n1 * n2 == 1 << lg and n1 >= 128 and n2 >= 2
+    # extended window: n1 = 2048 for the 2^27-2^29 commit column counts
+    assert _split3(1 << 19) == (2048, 256)
+    assert _split3(1 << 20) == (2048, 512)
+    assert _split3(1 << 21) is None
     assert not v3_applicable(3 * (1 << 14))
+
+
+def test_v3_extended_window_matches_oracle(interpret_pallas, monkeypatch):
+    """Exercise the XL-window split branch (same kernels, scaled-down
+    factor bounds so interpret mode stays fast); hardware runs the real
+    n=2^19 shape via scripts/r4_campaign.py."""
+    import lcpc_proof_of_storage_tpu.ops.ntt_pallas3 as n3
+    monkeypatch.setattr(n3, "_NMIN", 1 << 12)
+    monkeypatch.setattr(n3, "_N1MAX", 128)
+    monkeypatch.setattr(n3, "_N2MAX", 16)
+    monkeypatch.setattr(n3, "_N1MAX_XL", 256)
+    monkeypatch.setattr(n3, "_N2MAX_XL", 32)
+    n3._v3_tables_np.cache_clear()
+    spec = FT63
+    n, b = 1 << 12, 1                      # > _N1MAX*_N2MAX -> XL branch
+    assert n3._split3(n) == (256, 16)
+    nnz = n // 4
+    x = _rand_mat(spec, b, n, 7, n_nonzero=nnz)
+    ref = np.asarray(jax.jit(lambda a: ntt(a, spec))(x))
+    got = np.asarray(n3.ntt_pallas3(x, spec, n_nonzero=nnz))
+    n3._v3_tables_np.cache_clear()
+    assert np.array_equal(got, ref)
