@@ -25,6 +25,7 @@ from ..ops.blake3_jax import (
     merkle_parents,
 )
 from ..ops.blake3_pallas import hash_columns_auto as hash_columns
+from ..utils.profiling import phase as _phase
 from .encoding import LABEL_CO, LABEL_DT, LABEL_PE, LABEL_PR, LcEncoding, \
     ceil_log2, next_power_of_two
 
@@ -604,9 +605,27 @@ def _columns_to_open(tr: Transcript, n_cols: int, n: int) -> list[int]:
     return out
 
 
+def _profile_deep() -> bool:
+    """LCPC_PROFILE_PROTO=1 splits the prove/verify phase spans into
+    device-execute vs transfer legs by forcing a 4-byte sync between them
+    (each split costs one extra ~32 ms tunnel dispatch — profiling only)."""
+    import os as _os
+    return _os.environ.get("LCPC_PROFILE_PROTO") == "1"
+
+
+def _force_exec(x) -> None:
+    """Force a device array's producer to complete via a one-element
+    readback (axon's block_until_ready is effectively async)."""
+    _ = int(jnp.reshape(x, (-1,))[0].astype(jnp.uint32))
+
+
 def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
           tr: Transcript) -> LcEvalProof:
-    """lcpc-2d/src/lib.rs:1034-1123."""
+    """lcpc-2d/src/lib.rs:1034-1123.
+
+    Phase spans (utils/profiling.GLOBAL_PHASES, actor="prove") mirror the
+    reference's per-handler instrumentation; LCPC_PROFILE_PROTO=1 adds the
+    device-vs-readback split for the column opening."""
     check_comm(comm, enc)
     if len(outer_tensor) != comm.n_rows:
         raise ProverError("outer tensor: wrong size")
@@ -634,30 +653,39 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     p_random_vec = []
     p_eval = pe_limbs = None
     for i in range(enc.get_n_degree_tests()):
-        rand_tensor = _challenge_tensor(tr, spec, comm.n_rows)
-        if i == 0:
-            if batched_collapse:
-                from .streamed import collapse_streamed
-                (p_random, pr_limbs), (p_eval, pe_limbs) = collapse_streamed(
-                    comm, enc, [rand_tensor, outer_tensor])
+        with _phase("challenge", "prove"):
+            rand_tensor = _challenge_tensor(tr, spec, comm.n_rows)
+        with _phase("collapse", "prove"):
+            if i == 0:
+                if batched_collapse:
+                    from .streamed import collapse_streamed
+                    (p_random, pr_limbs), (p_eval, pe_limbs) = \
+                        collapse_streamed(comm, enc,
+                                          [rand_tensor, outer_tensor])
+                else:
+                    p_random, p_eval, pr_limbs, pe_limbs = _collapse2(
+                        comm.coeffs, rand_tensor, outer_tensor, spec)
             else:
-                p_random, p_eval, pr_limbs, pe_limbs = _collapse2(
-                    comm.coeffs, rand_tensor, outer_tensor, spec)
-        else:
-            if batched_collapse:
-                from .streamed import collapse_streamed
-                (p_random, pr_limbs), = collapse_streamed(
-                    comm, enc, [rand_tensor])
-            else:
-                p_random, pr_limbs = _collapse(comm.coeffs, rand_tensor, spec)
-        _append_coeffs(tr, LABEL_PR, p_random, spec, limbs=pr_limbs)
+                if batched_collapse:
+                    from .streamed import collapse_streamed
+                    (p_random, pr_limbs), = collapse_streamed(
+                        comm, enc, [rand_tensor])
+                else:
+                    p_random, pr_limbs = _collapse(comm.coeffs, rand_tensor,
+                                                   spec)
+        with _phase("transcript", "prove"):
+            _append_coeffs(tr, LABEL_PR, p_random, spec, limbs=pr_limbs)
         p_random_vec.append(p_random)
 
     if p_eval is None:
-        p_eval, pe_limbs = _collapse(comm.coeffs, outer_tensor, spec)
-    _append_coeffs(tr, LABEL_PE, p_eval, spec, limbs=pe_limbs)
+        with _phase("collapse", "prove"):
+            p_eval, pe_limbs = _collapse(comm.coeffs, outer_tensor, spec)
+    with _phase("transcript", "prove"):
+        _append_coeffs(tr, LABEL_PE, p_eval, spec, limbs=pe_limbs)
 
-    cols_to_open = _columns_to_open(tr, comm.n_cols, enc.get_n_col_opens())
+    with _phase("sample", "prove"):
+        cols_to_open = _columns_to_open(tr, comm.n_cols,
+                                        enc.get_n_col_opens())
     # batched column extraction on device (one readback), limbs kept as-is.
     # A streamed commit keeps comm in host RAM (np.ndarray) or re-encodes
     # on demand; a one-shot commit gathers columns AND sibling paths from
@@ -665,34 +693,48 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     # are 16-bit, half the device->host transfer).
     paths = None
     if streamed:
-        from .streamed import open_columns_streamed
-        cols_arr = open_columns_streamed(comm, enc, cols_to_open)
+        with _phase("open", "prove"):
+            from .streamed import open_columns_streamed
+            cols_arr = open_columns_streamed(comm, enc, cols_to_open)
     elif isinstance(comm.comm, np.ndarray):
-        cols_arr = comm.comm[:, np.asarray(cols_to_open), :]
+        with _phase("open", "prove"):
+            cols_arr = comm.comm[:, np.asarray(cols_to_open), :]
     elif comm._hashes_np is None:
         depth = ceil_log2(comm.n_cols)
         gather = _enc_jit(enc, "prove_gather_paths", lambda: (
             lambda c, h, cidx, pidx: (
                 jnp.take(c, cidx, axis=1).astype(jnp.uint16),
                 jnp.take(h, pidx, axis=0))))
-        cols16, sibs = gather(
-            comm.comm, comm._hashes_dev,
-            jnp.asarray(cols_to_open, jnp.int32),
-            jnp.asarray(_path_indices(comm.n_cols, cols_to_open), jnp.int32))
-        cols_arr = np.asarray(cols16).astype(np.uint32)     # (rows, k, L)
-        paths = _paths_from_sibs(np.asarray(sibs), len(cols_to_open), depth)
+        with _phase("open_device", "prove"):
+            cols16, sibs = gather(
+                comm.comm, comm._hashes_dev,
+                jnp.asarray(cols_to_open, jnp.int32),
+                jnp.asarray(_path_indices(comm.n_cols, cols_to_open),
+                            jnp.int32))
+            if _profile_deep():
+                _force_exec(cols16)          # split exec from the readback
+        with _phase("open_readback", "prove"):
+            cols_arr = np.asarray(cols16).astype(np.uint32)  # (rows, k, L)
+            sibs_np = np.asarray(sibs)
+        with _phase("paths", "prove"):
+            paths = _paths_from_sibs(sibs_np, len(cols_to_open), depth)
     else:
         gather = _enc_jit(enc, "prove_gather", lambda: (
             lambda c, idx: jnp.take(c, idx, axis=1).astype(jnp.uint16)))
-        cols_arr = np.asarray(
-            gather(comm.comm, jnp.asarray(cols_to_open, jnp.int32))
-        ).astype(np.uint32)                                 # (rows, k, L)
+        with _phase("open_device", "prove"):
+            cols16 = gather(comm.comm, jnp.asarray(cols_to_open, jnp.int32))
+            if _profile_deep():
+                _force_exec(cols16)
+        with _phase("open_readback", "prove"):
+            cols_arr = np.asarray(cols16).astype(np.uint32)  # (rows, k, L)
     if paths is None:
-        paths = merkle_paths_batch(comm, cols_to_open)
-    columns = [
-        LcColumn(col_limbs=cols_arr[:, i, :], spec=spec, path=paths[i])
-        for i, c in enumerate(cols_to_open)
-    ]
+        with _phase("paths", "prove"):
+            paths = merkle_paths_batch(comm, cols_to_open)
+    with _phase("build", "prove"):
+        columns = [
+            LcColumn(col_limbs=cols_arr[:, i, :], spec=spec, path=paths[i])
+            for i, c in enumerate(cols_to_open)
+        ]
 
     return LcEvalProof(n_cols=comm.n_cols, p_eval=p_eval,
                        p_random_vec=p_random_vec, columns=columns)
@@ -741,18 +783,21 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
 
     # limb forms of the proof rows, converted once: used for the transcript
     # appends (vectorized repr bytes) AND the re-encode row matrix below
-    row_limbs = [ints_to_limbs(v, spec)
-                 for v in proof.p_random_vec + [proof.p_eval]]
+    with _phase("limbs", "verify"):
+        row_limbs = [ints_to_limbs(v, spec)
+                     for v in proof.p_random_vec + [proof.p_eval]]
 
-    rand_tensor_vec = []
-    for i in range(enc.get_n_degree_tests()):
-        rand_tensor = _challenge_tensor(tr, spec, n_rows)
-        rand_tensor_vec.append(rand_tensor)
-        _append_coeffs(tr, LABEL_PR, proof.p_random_vec[i], spec,
-                       limbs=row_limbs[i])
+    with _phase("transcript", "verify"):
+        rand_tensor_vec = []
+        for i in range(enc.get_n_degree_tests()):
+            rand_tensor = _challenge_tensor(tr, spec, n_rows)
+            rand_tensor_vec.append(rand_tensor)
+            _append_coeffs(tr, LABEL_PR, proof.p_random_vec[i], spec,
+                           limbs=row_limbs[i])
 
-    _append_coeffs(tr, LABEL_PE, proof.p_eval, spec, limbs=row_limbs[-1])
-    cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
+        _append_coeffs(tr, LABEL_PE, proof.p_eval, spec, limbs=row_limbs[-1])
+    with _phase("sample", "verify"):
+        cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
 
     if any(len(c.col) != n_rows for c in proof.columns):
         # ragged opened columns: the reference's per-column zip silently
@@ -760,9 +805,11 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         # leaf hash covers the full column) — reject cleanly instead of
         # letting np.stack throw
         raise VerifierError("OuterTensor", "ragged column lengths")
-    cols_np = np.stack([c.col_limbs(spec) for c in proof.columns])  # (k, rows, L)
-    rand_mats = jnp.stack([lf.array(t) for t in rand_tensor_vec])   # (ndt, rows, L)
-    outer_mat = lf.array(outer_tensor)                              # (rows, L)
+    with _phase("stage", "verify"):
+        cols_np = np.stack(
+            [c.col_limbs(spec) for c in proof.columns])             # (k, rows, L)
+        rand_mats = jnp.stack([lf.array(t) for t in rand_tensor_vec])
+        outer_mat = lf.array(outer_tensor)                          # (rows, L)
     n_degree = enc.get_n_degree_tests()
 
     if enc.mesh is not None:
@@ -792,19 +839,30 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         # widen to the longest row (capped at n_cols) rather than crash;
         # the extra coefficients then fail ColumnDegree exactly like there
         width = min(n_cols, max([n_per_row] + [len(l) for l in row_limbs]))
-        rows_mat = np.zeros((n_degree + 1, width, lfL), np.uint16)
-        for i, limbs in enumerate(row_limbs):
-            rows_mat[i, : min(len(limbs), width), :] = limbs[:width]
-        rand_ok_dev, eval_ok_dev, leaves = _verify_checks_fused(enc)(
-            jnp.asarray(rows_mat), enc.device_operands(), rand_mats,
-            outer_mat, jnp.asarray(cols_np.astype(np.uint16)),
-            jnp.asarray(cols_to_open, jnp.int32))
-        rand_ok_arr = np.asarray(rand_ok_dev)
-        eval_ok_arr = np.asarray(eval_ok_dev)
+        with _phase("stage", "verify"):
+            rows_mat = np.zeros((n_degree + 1, width, lfL), np.uint16)
+            for i, limbs in enumerate(row_limbs):
+                rows_mat[i, : min(len(limbs), width), :] = limbs[:width]
+        with _phase("upload", "verify"):
+            rows_dev = jnp.asarray(rows_mat)
+            cols_dev = jnp.asarray(cols_np.astype(np.uint16))
+            open_dev = jnp.asarray(cols_to_open, jnp.int32)
+            if _profile_deep():
+                _force_exec(cols_dev)        # split upload from execute
+        with _phase("device", "verify"):
+            rand_ok_dev, eval_ok_dev, leaves = _verify_checks_fused(enc)(
+                rows_dev, enc.device_operands(), rand_mats,
+                outer_mat, cols_dev, open_dev)
+            if _profile_deep():
+                _force_exec(leaves)
+        with _phase("readback", "verify"):
+            rand_ok_arr = np.asarray(rand_ok_dev)
+            eval_ok_arr = np.asarray(eval_ok_dev)
 
-    leaf_bytes = digests_to_bytes(np.asarray(leaves))
-    folded = _fold_paths_batch(leaf_bytes, cols_to_open,
-                               [c.path for c in proof.columns])
+    with _phase("fold", "verify"):
+        leaf_bytes = digests_to_bytes(np.asarray(leaves))
+        folded = _fold_paths_batch(leaf_bytes, cols_to_open,
+                                   [c.path for c in proof.columns])
     for k, (col_num, column) in enumerate(zip(cols_to_open, proof.columns)):
         rand_ok = all(rand_ok_arr[i][k] for i in range(n_degree))
         eval_ok = bool(eval_ok_arr[k])
