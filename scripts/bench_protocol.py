@@ -135,6 +135,10 @@ def run_protocol(log2s=None, field_name=None, code=None, iters=None,
 
         tc, tp, tv = [], [], []
         for _ in range(iters):
+            # release the previous iteration's commitment BEFORE re-commit:
+            # keep_comm="device" holds the encoded matrix in HBM (4.3 GB at
+            # Ligero 2^25) and two live copies RESOURCE_EXHAUST a 16 GB chip
+            comm = None
             t0 = time.time()
             comm = do_commit()
             # the 32 B root readback synchronizes the device pipeline (the

@@ -222,10 +222,108 @@ def _ligero25_dev():
         emit({"item": "ligero25_dev", **r})
 
 
+@item("brakedown21_r4")
+def _brakedown21_r4():
+    """Re-measure Brakedown 2^21 with the one-pass expander kernel
+    (round-3 number predates it: commit 0.51 s vs ref 0.234 s)."""
+    from bench_protocol import run_protocol
+    for r in run_protocol(log2s=[21], code="brakedown", iters=3):
+        emit({"item": "brakedown21_r4", **r})
+
+
+@item("proto_profile20")
+def _proto_profile20():
+    """Measured device/host/transfer decomposition (VERDICT r3 #3)."""
+    from profile_protocol import run_profile
+    emit({"item": "proto_profile20", **run_profile(20, "ligero")})
+    emit({"item": "proto_profile20", **run_profile(21, "brakedown")})
+
+
+@item("proto_profile25_bd")
+def _proto_profile25_bd():
+    from profile_protocol import run_profile
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    try:
+        emit({"item": "proto_profile25_bd",
+              **run_profile(25, "brakedown", keep_comm="device")})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+
+
+@item("bench27_dev")
+def _bench27_dev():
+    """2^27 with DEVICE-resident uint16 coeffs (4.3 GB) + v3 kernel.
+    Round-3 number was 26.6 s (v2); target <= 13.4 s (dfl.txt:22)."""
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    os.environ["LCPC_BENCH_HOST_COEFF_LOG2"] = "28"
+    try:
+        emit({"item": "bench27_dev", **_bench_with_kernel(27, 2, "v3")})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+        os.environ.pop("LCPC_BENCH_HOST_COEFF_LOG2", None)
+
+
+@item("bench28_dev")
+def _bench28_dev():
+    """2^28 with device-resident uint16 coeffs (8.6 GB): tight HBM —
+    strict per-batch sync + 512 MB batches leave room for transients."""
+    os.environ["LCPC_STREAM_INFLIGHT"] = "0"
+    os.environ["LCPC_STREAM_BATCH_BYTES"] = str(1 << 29)
+    os.environ["LCPC_BENCH_HOST_COEFF_LOG2"] = "29"
+    try:
+        emit({"item": "bench28_dev", **_bench_with_kernel(28, 1, "v3")})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+        os.environ.pop("LCPC_STREAM_BATCH_BYTES", None)
+        os.environ.pop("LCPC_BENCH_HOST_COEFF_LOG2", None)
+
+
+@item("bench29_host")
+def _bench29_host():
+    """2^29 host-coeff streamed (VERDICT r3 #4: complete the BASELINE
+    envelope; ref 94.6 s, dfl.txt:24).  Upload-wall bound through the
+    ~35 MB/s tunnel (17 GB of uint16 coeffs cross it per iteration)."""
+    emit({"item": "bench29_host", **_bench_with_kernel(29, 1, "v3")})
+
+
+@item("brakedown29_host")
+def _brakedown29_host():
+    """Brakedown 2^29 host-coeff streamed commit (ref 38.8 s,
+    sdig.txt:54)."""
+    import numpy as np
+    from lcpc_proof_of_storage_tpu.codes.brakedown import BrakedownEncoding
+    from lcpc_proof_of_storage_tpu.core.streamed import commit_streamed
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS
+
+    spec = FIELDS["ft255"]
+    n = 1 << 29
+    enc = BrakedownEncoding.new(n, 0, spec)
+    L = spec.num_limbs16
+    rng = np.random.default_rng(0)
+    coeffs = rng.integers(0, 1 << 16, size=(n, L)).astype(np.uint16)
+    coeffs[:, -1] = 0
+    times = []
+    for _ in range(2):
+        t = time.time()
+        c = commit_streamed(coeffs, enc, keep_comm=False, device_coeffs=False)
+        _ = c.get_root().root
+        times.append(round(time.time() - t, 2))
+        del c
+    emit({"item": "brakedown29_host", "commit_s": min(times),
+          "times": times, "dims": [int(x) for x in
+                                   enc.get_dims(n)]})
+
+
 DEFAULT_ORDER = [
     "validate_v3", "ntt_v3_micro", "bench20_v3", "profile_commit20",
     "bench24_v3", "bench25_v3", "bench26_v3", "brakedown25_dev",
     "ligero25_dev",
+]
+
+CAMPAIGN2 = [
+    "brakedown21_r4", "proto_profile20", "proto_profile25_bd",
+    "bench27_dev", "ligero25_dev", "bench28_dev",
+    "brakedown29_host", "bench29_host",
 ]
 
 
@@ -237,6 +335,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     names = sys.argv[1:] or DEFAULT_ORDER
+    if names == ["c2"]:
+        names = CAMPAIGN2
     t0 = time.time()
     print(f"# campaign start {time.ctime()}; items: {names}", flush=True)
     _ = int(jnp.arange(4).sum())
@@ -244,6 +344,7 @@ def main() -> None:
           flush=True)
 
     done = set()
+    errored: dict = {}
     if os.path.exists(RESULTS):                  # resume: skip finished items
         for line in open(RESULTS):
             try:
@@ -252,10 +353,17 @@ def main() -> None:
                 continue
             if row.get("done"):
                 done.add(row["item"])
+            elif row.get("error"):
+                errored[row["item"]] = errored.get(row["item"], 0) + 1
 
     for name in names:
         if name in done:
             print(f"### {name} already done, skip", flush=True)
+            continue
+        if errored.get(name, 0) >= 2:
+            # two failed attempts (e.g. an OOM that also poisons the
+            # backend) — don't burn retry-wrapper attempts looping on it
+            print(f"### {name} errored {errored[name]}x, skip", flush=True)
             continue
         t = time.time()
         print(f"\n### {name} start {time.ctime()}", flush=True)
