@@ -505,10 +505,29 @@ def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
     return [h[i].tobytes() for i in range(k)]
 
 
+@functools.lru_cache(maxsize=None)
+def _collapse_kernel_fn(spec: FieldSpec):
+    """One-pass Pallas collapse (ops/collapse_pallas): no widened-product
+    HBM transient, in-kernel Barrett; uint16 limbs over the wire."""
+    from ..ops.collapse_pallas import collapse_tensors
+    return jax.jit(lambda c, t: collapse_tensors(c, t, spec).astype(
+        jnp.uint16))
+
+
+def _use_collapse_kernel(spec: FieldSpec) -> bool:
+    from ..ops.collapse_pallas import use_collapse_kernel
+    return use_collapse_kernel(spec)
+
+
 def _collapse(coeff_mat: jnp.ndarray, tensor: list[int], spec: FieldSpec):
     """v = tensor^T . coeffs (lcpc-2d collapse_columns, lib.rs:1126-1154).
     Returns (python ints, (n_per_row, L) limb array)."""
     lf = limb_field(spec)
+    if _use_collapse_kernel(spec):
+        t = lf.array(tensor)[None]              # (1, n_rows, L)
+        out = np.asarray(_collapse_kernel_fn(spec)(coeff_mat, t)[0],
+                         dtype=np.uint32)
+        return limbs_to_ints(out), out
     t = lf.array(tensor)[:, None, :]            # (n_rows, 1, L)
     out = np.asarray(_collapse_fn(spec)(coeff_mat, t))
     return limbs_to_ints(out), out
@@ -528,6 +547,12 @@ def _collapse2(coeff_mat: jnp.ndarray, tensor_a: list[int], tensor_b: list[int],
     """Two collapses against the same matrix in one device round trip.
     Returns (ints_a, ints_b, limbs_a, limbs_b)."""
     lf = limb_field(spec)
+    if _use_collapse_kernel(spec):
+        t = jnp.stack([lf.array(tensor_a), lf.array(tensor_b)])
+        out = np.asarray(_collapse_kernel_fn(spec)(coeff_mat, t),
+                         dtype=np.uint32)
+        na, nb = out[0], out[1]
+        return limbs_to_ints(na), limbs_to_ints(nb), na, nb
     ta = lf.array(tensor_a)[:, None, :]
     tb = lf.array(tensor_b)[:, None, :]
     out_a, out_b = _collapse2_fn(spec)(coeff_mat, ta, tb)
@@ -643,8 +668,15 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     import os as _os
     n_rows_c, n_per_row_c, Lc = comm.coeffs.shape
     transient_bytes = n_rows_c * n_per_row_c * (2 * Lc + 1) * 4
-    batched_collapse = streamed or transient_bytes > float(
-        _os.environ.get("LCPC_COLLAPSE_TRANSIENT_BYTES", "2e9"))
+    # The one-pass Pallas collapse has NO widened-product transient (the
+    # accumulator lives in VMEM) — device-resident coefficients always
+    # collapse one-shot through it; host-resident coefficients (keep_comm
+    # host mode / device_coeffs=False) still batch so the upload streams.
+    kernel_collapse = (not isinstance(comm.coeffs, np.ndarray)
+                       and _use_collapse_kernel(spec))
+    batched_collapse = not kernel_collapse and (
+        streamed or transient_bytes > float(
+            _os.environ.get("LCPC_COLLAPSE_TRANSIENT_BYTES", "2e9")))
 
     # The eval collapse uses only the caller-supplied outer tensor, so it
     # shares a device round trip with the first degree-test collapse; the

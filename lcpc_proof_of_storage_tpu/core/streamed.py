@@ -269,10 +269,16 @@ def collapse_streamed(
     batches = _even_row_batches(n_rows, T * n_per_row * (2 * lf.L + 1) * 4,
                                 target_batch_rows)
 
+    from ..ops.collapse_pallas import collapse_tensors, use_collapse_kernel
+    kernel = use_collapse_kernel(spec)
+
     def make_step(rows_b: int):
         def f(acc, c_rows, t_rows):
             c_rows = c_rows.astype(jnp.uint32)
-            part = lf.dot(c_rows[None], t_rows[:, :, None, :], axis=1)
+            if kernel:
+                part = collapse_tensors(c_rows, t_rows, spec)
+            else:
+                part = lf.dot(c_rows[None], t_rows[:, :, None, :], axis=1)
             return lf.add(acc, part)                 # (T, n_per_row, L)
         return f
 

@@ -1,0 +1,178 @@
+"""One-pass Pallas TPU kernel for the prover's collapse (v = t^T . M).
+
+The collapse (lcpc-2d/src/lib.rs:1126-1154 collapse_columns) is the
+dominant prove() cost once column opening is a fused gather: the XLA
+limb dot (fields/limb.py LimbField.dot) materializes the exact 2L-limb
+product for EVERY (row, col) pair — a (T, n_rows, n_per_row, 2L+1)
+uint32 transient (4.4 GB at 2^25 ft255) built with L sequential
+scatter-adds, i.e. ~16 HBM passes over a multi-GB array.  Measured on
+hardware (scripts/r4_campaign.py proto_profile25_bd): 2.9 s of a 4.4 s
+Brakedown 2^25 prove; 87 ms of a 189 ms Ligero 2^20 prove.
+
+This kernel is the same shape as the Brakedown expander's one-pass
+matvec (ops/expander_pallas.py): stream the coefficient matrix through
+VMEM once, convolve each row's packed limb pairs against the tensor
+scalar's limbs into a VMEM-resident raw-digit accumulator, and
+carry-normalize + Barrett-reduce IN the kernel.  No HBM transient at
+all: traffic = coeffs once (+ the packed relayout) and the (T,
+n_per_row, L) output.
+
+Digit bound: every accumulator digit receives < 2L terms < 2^16 per row,
+so up to 2048 rows accumulate exactly in uint32 (matching the expander
+kernel's K <= 2048 bound); larger matrices split into <= 2048-row chunks
+whose canonical partials are added modularly at the XLA level.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.field import FieldSpec
+from ..fields.limb import limb_field
+from .expander_pallas import _barrett_rows
+
+U32 = jnp.uint32
+MASK16 = np.uint32(0xFFFF)
+
+#: lane-tile width over the n_per_row axis
+_TM = int(os.environ.get("LCPC_COLLAPSE_TM", "512"))
+#: max rows accumulated raw in uint32 (see digit bound above)
+_MAX_ROWS = 2048
+
+
+def use_collapse_kernel(spec: FieldSpec) -> bool:
+    """TPU backend + even L (packed pairs) + not opted out."""
+    if os.environ.get("LCPC_COLLAPSE_KERNEL", "1") == "0":
+        return False
+    if spec.num_limbs16 % 2 != 0:
+        return False
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend not in ("cpu",)
+
+
+def _collapse_kernel(spec: FieldSpec, Rg: int, rg: int):
+    """Grid cell: one (TM-lane) tile of n_per_row for one tensor t.
+
+    tv_ref: (1, Rg, rg*L) SMEM — tensor limbs as scalars (row-padded).
+    xg_ref: (Rg, rg*Lp, TM) VMEM — packed coefficient rows for this tile.
+    out_ref: (1, L, TM) — canonical limbs of sum_i t[i]*C[i, tile].
+    """
+    L = spec.num_limbs16
+    Lp = L // 2
+    A = 2 * L + 2
+
+    def kernel(tv_ref, xg_ref, out_ref):
+        TM = xg_ref.shape[-1]
+
+        def body(g, acc):
+            ap = xg_ref[g]                       # (rg*Lp, TM) packed pairs
+            for q in range(rg):
+                v_rows = []
+                for j in range(Lp):
+                    r = q * Lp + j
+                    v_rows.append(ap[r : r + 1] & MASK16)
+                    v_rows.append(ap[r : r + 1] >> 16)
+                v = jnp.concatenate(v_rows, axis=0)          # (L, TM) limbs
+                for i in range(L):
+                    ti = tv_ref[0, g, q * L + i]             # scalar < 2^16
+                    prod = ti * v                            # (L, TM) exact
+                    lo = prod & MASK16
+                    hi = prod >> 16
+                    parts = []
+                    if i:
+                        parts.append(jnp.zeros((i, TM), U32))
+                    parts.append(lo)
+                    if A - i - L:
+                        parts.append(jnp.zeros((A - i - L, TM), U32))
+                    acc = acc + jnp.concatenate(parts, axis=0)
+                    parts = [jnp.zeros((i + 1, TM), U32), hi]
+                    if A - i - 1 - L:
+                        parts.append(jnp.zeros((A - i - 1 - L, TM), U32))
+                    acc = acc + jnp.concatenate(parts, axis=0)
+            return acc
+
+        acc = jax.lax.fori_loop(0, Rg, body, jnp.zeros((A, TM), U32))
+        out_ref[0] = _barrett_rows(acc, spec)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _collapse_call(spec: FieldSpec, Rg: int, rg: int, T: int, npr_pad: int,
+                   TM: int):
+    L = spec.num_limbs16
+    Lp = L // 2
+    kernel = _collapse_kernel(spec, Rg, rg)
+    # grid (tile, t): t innermost so the coeff block (a function of the
+    # tile index only) is revisited, not refetched, across the T tensors
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, L, npr_pad), jnp.uint32),
+        grid=(npr_pad // TM, T),
+        in_specs=[
+            pl.BlockSpec((1, Rg, rg * L), lambda j, t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Rg, rg * Lp, TM), lambda j, t: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, TM), lambda j, t: (t, 0, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+    )
+
+
+def _collapse_chunk(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
+                    spec: FieldSpec) -> jnp.ndarray:
+    """(rows, npr, L) x (T, rows, L) -> (T, npr, L), rows <= _MAX_ROWS."""
+    L = spec.num_limbs16
+    Lp = L // 2
+    rows, npr, _ = coeffs.shape
+    T = t_limbs.shape[0]
+    rg = max(1, 8 // Lp)                 # rows per block group (8 sublanes)
+    Rg = -(-rows // rg)
+    TM = min(_TM, 1 << max(7, (npr - 1).bit_length()))
+    npr_pad = -(-npr // TM) * TM
+
+    c = coeffs.astype(U32)
+    cpk = c[..., 0::2] | (c[..., 1::2] << 16)            # (rows, npr, Lp)
+    cpk = jnp.transpose(cpk, (0, 2, 1))                  # (rows, Lp, npr)
+    cpk = jnp.pad(cpk, ((0, Rg * rg - rows), (0, 0), (0, npr_pad - npr)))
+    cpk = cpk.reshape(Rg, rg * Lp, npr_pad)
+
+    tv = jnp.pad(t_limbs.astype(U32), ((0, 0), (0, Rg * rg - rows), (0, 0)))
+    tv = tv.reshape(T, Rg, rg * L)
+
+    out = _collapse_call(spec, Rg, rg, T, npr_pad, TM)(tv, cpk)
+    return jnp.transpose(out, (0, 2, 1))[:, :npr, :]     # (T, npr, L)
+
+
+def collapse_tensors(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
+                     spec: FieldSpec) -> jnp.ndarray:
+    """v_t = sum_i t_limbs[t, i] * coeffs[i] mod p for each tensor t.
+
+    coeffs: (n_rows, n_per_row, L) uint16/uint32 canonical limbs (device).
+    t_limbs: (T, n_rows, L) uint32 canonical limbs.
+    Returns (T, n_per_row, L) canonical uint32 limbs.  Jittable; rows
+    beyond _MAX_ROWS split into chunks whose partials are added mod p.
+    """
+    lf = limb_field(spec)
+    rows = coeffs.shape[0]
+    if rows <= _MAX_ROWS:
+        return _collapse_chunk(coeffs, t_limbs, spec)
+    acc = None
+    for r0 in range(0, rows, _MAX_ROWS):
+        r1 = min(r0 + _MAX_ROWS, rows)
+        part = _collapse_chunk(coeffs[r0:r1], t_limbs[:, r0:r1], spec)
+        acc = part if acc is None else lf.add(acc, part)
+    return acc
