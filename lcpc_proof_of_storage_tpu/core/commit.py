@@ -245,9 +245,29 @@ def _encode_matrix(coeff_mat: jnp.ndarray, enc: LcEncoding, n_cols: int,
     return enc.encode(padded, operands)
 
 
-def commit(coeffs, enc: LcEncoding) -> LcCommit:
-    """lcpc-2d/src/lib.rs:651-700."""
+def commit(coeffs, enc: LcEncoding, digest: str = "blake3") -> LcCommit:
+    """lcpc-2d/src/lib.rs:651-700.
+
+    `digest` mirrors the reference's digest type parameter
+    (LcCommit<D, E>, lib.rs:174-191).  Blake3 (default) runs the fused
+    device hash+Merkle pipeline; any other registered digest (e.g.
+    "blake2b", as in the reference's committed microbenches) encodes on
+    device and hashes on the HOST — see crypto/digest.py."""
     coeff_mat, (n_rows, n_per_row, n_cols) = _coeffs_to_matrix(coeffs, enc)
+
+    if digest != "blake3":
+        if enc.mesh is not None:
+            raise ProverError("generic digests commit single-chip only")
+        from ..crypto.digest import (column_leaves_host, get_digest,
+                                     merkle_tree_host)
+        d = get_digest(digest)
+        encode = _enc_jit(enc, "commit_encode", lambda: (
+            lambda cm, ops: _encode_matrix(cm, enc, n_cols, ops)))
+        comm_np = np.asarray(encode(coeff_mat, enc.device_operands()))
+        leaves = column_leaves_host(comm_np, enc.spec, d)
+        hashes = merkle_tree_host(leaves, n_cols, d)
+        return LcCommit(coeffs=coeff_mat, comm=comm_np, n_rows=n_rows,
+                        n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)
 
     if enc.mesh is not None:
         # wide-row mode: encoded columns sharded over the mesh, cross-chip
@@ -361,12 +381,17 @@ def merkle_paths_batch(comm: "LcCommit",
 
 
 def verify_column_path(column: LcColumn, col_num: int, root: bytes,
-                       spec: FieldSpec) -> bool:
+                       spec: FieldSpec, digest: str = "blake3") -> bool:
     """lcpc-2d/src/lib.rs:985-1008 (host, per column).  The batch verifier
     hashes all leaves on device instead (_column_checks_fn); this stays as
     the single-column entry point (PoS helpers, tests)."""
-    from ..crypto.blake3_ref import blake3
     msg = b"\x00" * 32 + b"".join(spec.to_repr(v) for v in column.col)
+    if digest != "blake3":
+        from ..crypto.digest import get_digest
+        d = get_digest(digest)
+        return _fold_paths_generic([d.hash(msg)], [col_num],
+                                   [column.path], d)[0] == root
+    from ..crypto.blake3_ref import blake3
     return _fold_path(blake3(msg), col_num, column.path) == root
 
 
@@ -794,9 +819,27 @@ def _encode_rows_limbs(rows: list[list[int]], enc: LcEncoding) -> np.ndarray:
     return np.asarray(encode(jnp.asarray(mat), enc.device_operands()))
 
 
+def _fold_paths_generic(leaf_bytes: list[bytes], col_nums: list[int],
+                        paths: list[list[bytes]], d) -> list[bytes]:
+    """_fold_paths_batch for a generic host digest (crypto/digest.py)."""
+    out = []
+    for leaf, col, path in zip(leaf_bytes, col_nums, paths):
+        h = leaf
+        c = col
+        for p in path:
+            h = d.hash(h + p) if c % 2 == 0 else d.hash(p + h)
+            c >>= 1
+        out.append(h)
+    return out
+
+
 def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
-           proof: LcEvalProof, enc: LcEncoding, tr: Transcript) -> int:
-    """lcpc-2d/src/lib.rs:862-982.  Returns the evaluation <inner, p_eval>."""
+           proof: LcEvalProof, enc: LcEncoding, tr: Transcript,
+           digest: str = "blake3") -> int:
+    """lcpc-2d/src/lib.rs:862-982.  Returns the evaluation <inner, p_eval>.
+
+    `digest` must match the committer's (the root binds it); non-blake3
+    digests hash column leaves and fold paths on the host."""
     spec = enc.spec
     lf = limb_field(spec)
 
@@ -892,9 +935,22 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
             eval_ok_arr = np.asarray(eval_ok_dev)
 
     with _phase("fold", "verify"):
-        leaf_bytes = digests_to_bytes(np.asarray(leaves))
-        folded = _fold_paths_batch(leaf_bytes, cols_to_open,
-                                   [c.path for c in proof.columns])
+        if digest != "blake3":
+            # generic digest: leaves + path folds on the host (the device
+            # `leaves` are blake3 and are ignored); dots/equalities above
+            # are digest-independent
+            from ..crypto.digest import column_leaves_host, get_digest
+            d = get_digest(digest)
+            leaf_rows = column_leaves_host(
+                cols_np.transpose(1, 0, 2), spec, d)        # (k, 32)
+            leaf_bytes = [leaf_rows[i].tobytes()
+                          for i in range(leaf_rows.shape[0])]
+            folded = _fold_paths_generic(leaf_bytes, cols_to_open,
+                                         [c.path for c in proof.columns], d)
+        else:
+            leaf_bytes = digests_to_bytes(np.asarray(leaves))
+            folded = _fold_paths_batch(leaf_bytes, cols_to_open,
+                                       [c.path for c in proof.columns])
     for k, (col_num, column) in enumerate(zip(cols_to_open, proof.columns)):
         rand_ok = all(rand_ok_arr[i][k] for i in range(n_degree))
         eval_ok = bool(eval_ok_arr[k])
