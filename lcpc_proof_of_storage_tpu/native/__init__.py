@@ -110,6 +110,10 @@ def native():
     lib.pos_ntt_rows_from_bytes_u64.restype = ctypes.c_int
     lib.pos_fd_is_memfs.argtypes = [ctypes.c_int]
     lib.pos_fd_is_memfs.restype = ctypes.c_int
+    lib.pos_ntt_rows_w4.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
+                                    u64p, ctypes.c_int64, u64p,
+                                    ctypes.c_uint64, u64p]
+    lib.pos_ntt_rows_w4.restype = ctypes.c_int
     lib.pos_transpose_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
                                       u64p]
     lib.pos_scatter_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
@@ -228,6 +232,55 @@ def ntt_rows_from_bytes_u64(data: bytes, cap: int, k: int, n_in: int,
     u64p = ctypes.POINTER(ctypes.c_uint64)
     rc = lib.pos_ntt_rows_from_bytes_u64(data, len(data), cap, k, n_in,
                                          out.ctypes.data_as(u64p), n, p, w)
+    return rc == 0
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _w4_tables(p: int, n: int, w: int):
+    """Montgomery-domain twiddle table (n, 4) u64 + p words + n0inv for
+    pos_ntt_rows_w4: tw[half+j] = (w^(n/(2*half)))^j * 2^256 mod p in the
+    size-n layout — built with Python bignums (no bignum code in C)."""
+    import numpy as np
+    R = 1 << 256
+    M64 = (1 << 64) - 1
+    tw = np.zeros((n, 4), np.uint64)
+
+    def put(i, val):
+        vm = (val * R) % p
+        for q in range(4):
+            tw[i, q] = (vm >> (64 * q)) & M64
+
+    put(0, 1)
+    half = 1
+    while half < n:
+        wm = pow(w, n // (2 * half), p)
+        v = 1
+        for j in range(half):
+            put(half + j, v)
+            v = (v * wm) % p
+        half <<= 1
+    p4 = np.array([(p >> (64 * q)) & M64 for q in range(4)], np.uint64)
+    n0inv = (-pow(p & M64, -1, 1 << 64)) % (1 << 64)
+    return tw, p4, ctypes.c_uint64(n0inv)
+
+
+def ntt_rows_w4(vals, out, n: int, p: int, w: int) -> bool:
+    """Batched forward NTT for <=255-bit 4-word fields: vals (k, n_in, 4)
+    LE-u64 rows -> out (k, n, 4).  C-contiguous uint64 numpy arrays;
+    returns False when the native library is unavailable."""
+    lib = native()
+    if lib is None:
+        return False
+    tw, p4, n0inv = _w4_tables(p, n, w)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    k, n_in, _ = vals.shape
+    rc = lib.pos_ntt_rows_w4(vals.ctypes.data_as(u64p), k, n_in,
+                             out.ctypes.data_as(u64p), n,
+                             p4.ctypes.data_as(u64p), n0inv,
+                             tw.ctypes.data_as(u64p))
     return rc == 0
 
 

@@ -123,6 +123,48 @@ def ceildiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _strided_view(fileobj, n_cols: int, stride_bytes: int, writable=False):
+    """(n_cols, stride_bytes) uint8 page-cache view of a column-major
+    encoded file, or None when it cannot be mapped (file shorter than the
+    full column grid, zero length) — callers then fall back to per-column
+    seeks.  One mmap + one vectorized numpy copy replaces n_cols
+    seek/read-or-write syscalls per batch: at PoS scale a generic-field
+    (W != 8) stream was paying thousands of syscalls per row batch
+    (reference does parallel write_at, encoded_file_writer.rs:309-389)."""
+    import mmap
+    flen = n_cols * stride_bytes
+    mm = None
+    try:
+        fileobj.flush()
+        if flen <= 0 or os.fstat(fileobj.fileno()).st_size < flen:
+            yield None
+            return
+        mm = mmap.mmap(fileobj.fileno(), flen,
+                       access=(mmap.ACCESS_WRITE if writable
+                               else mmap.ACCESS_READ))
+    except (OSError, ValueError):
+        yield None
+        return
+    try:
+        view = np.frombuffer(mm, np.uint8).reshape(n_cols, stride_bytes)
+        if not writable:
+            view.flags.writeable = False
+        yield view
+        del view
+    finally:
+        try:
+            mm.close()
+        except BufferError:
+            # the caller's `with ... as view:` name still references the
+            # array at __exit__ time; the mapping closes when that last
+            # reference drops (mmap dealloc) — nothing leaks
+            pass
+
+
 # -- one-u64 host fast path (ft63-class fields) ------------------------------
 # For little-endian one-word fields the canonical repr IS the value's 8 LE
 # bytes, so the host streaming pipeline can run end-to-end on u64 arrays:
@@ -143,6 +185,34 @@ def limbs_to_u64_np(m: np.ndarray) -> np.ndarray:
     m64 = m.astype(np.uint64)
     return (m64[..., 0] | (m64[..., 1] << 16) | (m64[..., 2] << 32)
             | (m64[..., 3] << 48))
+
+
+def _host_w4_spec(spec: FieldSpec) -> bool:
+    """Native 4-word Montgomery NTT host path (ft253_192-class fields):
+    16 limbs (256-bit repr), p < 2^255.  Bit-identical to the device NTT
+    (canonical residues); ~50-100x the XLA limb NTT on the CPU backend."""
+    if os.environ.get("LCPC_HOST_ENCODE", "auto") == "device":
+        return False
+    from .. import native as _native
+    return (spec.num_limbs16 == 16 and spec.modulus.bit_length() <= 255
+            and _native.native() is not None)
+
+
+def limbs_to_w4_np(m: np.ndarray) -> np.ndarray:
+    """(..., 16) 16-bit limbs -> (..., 4) LE u64 words."""
+    g = m.astype(np.uint64).reshape(m.shape[:-1] + (4, 4))
+    return (g[..., 0] | (g[..., 1] << 16) | (g[..., 2] << 32)
+            | (g[..., 3] << 48))
+
+
+def w4_to_limbs_np(v: np.ndarray) -> np.ndarray:
+    """(..., 4) LE u64 words -> (..., 16) 16-bit limbs."""
+    out = np.empty(v.shape[:-1] + (16,), np.uint32)
+    for i in range(4):
+        for j in range(4):
+            out[..., 4 * i + j] = ((v[..., i] >> np.uint64(16 * j))
+                                   & np.uint64(0xFFFF)).astype(np.uint32)
+    return out
 
 
 def u64_to_limbs_np(v: np.ndarray) -> np.ndarray:
@@ -514,6 +584,11 @@ class ColumnCVCache:
             stride = self.row_capacity * W
             off = b0 if b0 >= 32 else 32
             with open(self.path, "rb") as f:
+                with _strided_view(f, self.n_cols, stride) as view:
+                    if view is not None:
+                        out[:, off - b0 : off - b0 + (d1 - d0)] = \
+                            view[:, d0:d1]
+                        return out
                 for c in range(self.n_cols):
                     f.seek(c * stride + d0)
                     raw = f.read(d1 - d0)
@@ -732,7 +807,10 @@ class EncodedFileWriter:
         self.rows_written += rows
 
     def _write_rows(self, encoded: np.ndarray) -> None:
-        """Column-major write of (k, n_cols, L) encoded rows."""
+        """Column-major write of (k, n_cols, L) encoded rows: one vectorized
+        scatter into the fallocate'd mmap (page-cache memcpys) instead of
+        n_cols seek+write syscalls per batch — the generic-field (W != 8)
+        analogue of the u64 path's native mmap scatter."""
         reprs = limbs_to_repr_bytes_np(encoded, self.spec)     # (k, cols, W)
         k, cols, W = reprs.shape
         if self.rows_written + k > self.row_capacity:
@@ -740,9 +818,10 @@ class EncodedFileWriter:
         col_stride = self.row_capacity * W
         by_col = np.ascontiguousarray(reprs.transpose(1, 0, 2))  # (cols, k, W)
         base = self.rows_written * W
-        for c in range(cols):
-            self._file.seek(c * col_stride + base)
-            self._file.write(by_col[c].tobytes())
+        mm = self._mapped()
+        view = np.frombuffer(mm, np.uint8).reshape(cols, col_stride)
+        view[:, base : base + k * W] = by_col.reshape(cols, k * W)
+        del view
         self.rows_written += k
 
     def set_new_capacity(self, new_capacity: int) -> None:
@@ -839,6 +918,19 @@ def _encode_batch(spec: FieldSpec, n_cols: int):
             return u64_to_limbs_np(out)
 
         return run
+    if _host_w4_spec(spec):
+        from .. import native as _native
+        w = spec.nth_root_of_unity(n_cols)
+
+        def run4(mat):
+            m = np.asarray(mat)
+            vals = np.ascontiguousarray(limbs_to_w4_np(m))
+            out = np.empty((m.shape[0], n_cols, 4), np.uint64)
+            ok = _native.ntt_rows_w4(vals, out, n_cols, spec.modulus, w)
+            assert ok
+            return w4_to_limbs_np(out)
+
+        return run4
     return jax.jit(lambda mat: encode_rows(mat, spec, n_cols))
 
 
@@ -879,23 +971,23 @@ class EncodedFileReader:
 
     def get_encoded_row(self, row: int) -> np.ndarray:
         """(n_cols, L) limbs — strided read (one element per column)."""
-        W = self.spec.repr_bytes
-        stride = self.row_capacity * W
-        out = np.empty((self.n_cols, W), np.uint8)
-        for c in range(self.n_cols):
-            self._file.seek(c * stride + row * W)
-            out[c] = np.frombuffer(self._file.read(W), np.uint8)
-        return repr_bytes_to_limbs_np(out, self.spec)
+        return self.get_encoded_rows(row, 1)[0]
 
     def get_encoded_rows(self, start: int, count: int) -> np.ndarray:
-        """(count, n_cols, L) — batched strided read."""
+        """(count, n_cols, L) — one vectorized strided gather through a
+        page-cache view (fallback: per-column seek+read)."""
         W = self.spec.repr_bytes
         stride = self.row_capacity * W
         out = np.empty((self.n_cols, count, W), np.uint8)
-        for c in range(self.n_cols):
-            self._file.seek(c * stride + start * W)
-            data = self._file.read(count * W)
-            out[c] = np.frombuffer(data, np.uint8).reshape(count, W)
+        with _strided_view(self._file, self.n_cols, stride) as view:
+            if view is not None:
+                out[:] = view[:, start * W : (start + count) * W].reshape(
+                    self.n_cols, count, W)
+            else:
+                for c in range(self.n_cols):
+                    self._file.seek(c * stride + start * W)
+                    data = self._file.read(count * W)
+                    out[c] = np.frombuffer(data, np.uint8).reshape(count, W)
         return repr_bytes_to_limbs_np(out.transpose(1, 0, 2), self.spec)
 
     def get_unencoded_row(self, row: int) -> np.ndarray:
@@ -931,9 +1023,14 @@ class EncodedFileReader:
         W = self.spec.repr_bytes
         stride = self.row_capacity * W
         reprs = limbs_to_repr_bytes_np(encoded_row, self.spec)
-        for c in range(self.n_cols):
-            self._file.seek(c * stride + row * W)
-            self._file.write(reprs[c].tobytes())
+        with _strided_view(self._file, self.n_cols, stride,
+                           writable=True) as view:
+            if view is not None:
+                view[:, row * W : (row + 1) * W] = reprs
+            else:
+                for c in range(self.n_cols):
+                    self._file.seek(c * stride + row * W)
+                    self._file.write(reprs[c].tobytes())
         if row == self.rows_written:
             self.rows_written += 1
 

@@ -58,3 +58,69 @@ def test_limb_u64_round_trip():
     rng = np.random.default_rng(3)
     v = rng.integers(0, FT63.modulus, (5, 7), dtype=np.uint64)
     assert np.array_equal(limbs_to_u64_np(u64_to_limbs_np(v)), v)
+
+
+# -- four-word (ft253_192-class) native NTT ---------------------------------
+
+def _dft_ints(vals, n, p, w):
+    out = []
+    for j in range(n):
+        wj = pow(w, j, p)
+        acc, cur = 0, 1
+        for v in vals:
+            acc = (acc + v * cur) % p
+            cur = (cur * wj) % p
+        out.append(acc)
+    return out
+
+
+@pytest.mark.parametrize("fname,k,n_in,n", [
+    ("ft253_192", 3, 17, 64),     # pruned stages + partial row
+    ("ft253_192", 2, 64, 256),
+    ("ft255", 2, 50, 128),        # second 4-word field, odd input length
+])
+def test_native_ntt_w4_matches_dft(fname, k, n_in, n):
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS, ints_to_limbs
+    from lcpc_proof_of_storage_tpu.pos.storage import (limbs_to_w4_np,
+                                                       w4_to_limbs_np)
+    spec = FIELDS[fname]
+    rng = np.random.default_rng(n * 13 + k)
+    vals = [[int(x) % spec.modulus for x in
+             rng.integers(0, 1 << 62, n_in)] for _ in range(k)]
+    limbs = np.stack([ints_to_limbs(v, spec) for v in vals])
+    w4 = np.ascontiguousarray(limbs_to_w4_np(limbs))
+    out = np.empty((k, n, 4), np.uint64)
+    w = spec.nth_root_of_unity(n)
+    assert nat.ntt_rows_w4(w4, out, n, spec.modulus, w)
+    ref = np.stack([ints_to_limbs(_dft_ints(v, n, spec.modulus, w), spec)
+                    for v in vals])
+    assert np.array_equal(w4_to_limbs_np(out), ref)
+
+
+def test_w4_writer_root_matches_device_path(tmp_path):
+    """EncodedFileWriter through the native w4 NTT produces the same
+    encoded file + Merkle root as the XLA device path (ft253_192)."""
+    import os
+
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS
+    from lcpc_proof_of_storage_tpu.pos.storage import (EncodedFileWriter,
+                                                       _encode_batch)
+    spec = FIELDS["ft253_192"]
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=40_000, dtype=np.uint8).tobytes()
+    roots, files = [], []
+    for mode in ("auto", "device"):
+        os.environ["LCPC_HOST_ENCODE"] = mode
+        _encode_batch.cache_clear()
+        try:
+            p = tmp_path / f"w4_{mode}.porenc"
+            w = EncodedFileWriter(16, 64, len(data), p, spec)
+            w.push_bytes(data)
+            meta, tree = w.finalize_to_merkle_tree()
+            roots.append(tree.root())
+            files.append(p.read_bytes())
+        finally:
+            os.environ.pop("LCPC_HOST_ENCODE", None)
+            _encode_batch.cache_clear()
+    assert roots[0] == roots[1]
+    assert files[0] == files[1]
