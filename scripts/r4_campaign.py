@@ -263,12 +263,73 @@ def _bench27_dev():
         os.environ.pop("LCPC_BENCH_HOST_COEFF_LOG2", None)
 
 
+@item("collapse_micro")
+def _collapse_micro():
+    """Prove is collapse-bound (proto_profile: 2.9 s of 4.4 s at Brakedown
+    2^25, 87 ms of 189 ms at Ligero 2^20).  Measure the batched accumulator
+    (1 GB / 4 GB transient budgets) against the one-shot fused collapse at
+    the two 2^25 shapes to pick the default."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.codes.brakedown import BrakedownEncoding
+    from lcpc_proof_of_storage_tpu.codes.ligero import LigeroEncoding
+    from lcpc_proof_of_storage_tpu.core.commit import _collapse2
+    from lcpc_proof_of_storage_tpu.core.streamed import collapse_streamed
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS
+
+    spec = FIELDS["ft255"]
+    n = 1 << 25
+    rng = np.random.default_rng(0)
+    for code, enc in (("ligero", LigeroEncoding.new(n, spec, rho=(1, 4))),
+                      ("brakedown", BrakedownEncoding.new(n, 0, spec))):
+        n_rows, n_per_row, _ = enc.get_dims(n)
+        c16 = rng.integers(0, 1 << 16,
+                           (n_rows, n_per_row, spec.num_limbs16)).astype(
+                               np.uint16)
+        c16[..., -1] = 0
+        cm = jax.block_until_ready(jnp.asarray(c16))
+        comm = types.SimpleNamespace(coeffs=cm, n_rows=n_rows,
+                                     n_per_row=n_per_row)
+        ta = [pow(3, i, spec.modulus) for i in range(n_rows)]
+        tb = [pow(5, i, spec.modulus) for i in range(n_rows)]
+        row = {"item": "collapse_micro", "code": code,
+               "dims": [n_rows, n_per_row]}
+        for label, fn in (
+                ("batched_1g", lambda: collapse_streamed(comm, enc, [ta, tb])),
+                ("batched_4g", lambda: collapse_streamed(
+                    comm, enc, [ta, tb],
+                    target_batch_rows=max(1, int(4e9) // (
+                        2 * n_per_row * (2 * spec.num_limbs16 + 1) * 4)))),
+                ("oneshot", lambda: _collapse2(cm, ta, tb, spec))):
+            try:
+                fn()                                        # compile
+                best = 1e9
+                for _ in range(2):
+                    t = time.time()
+                    out = fn()
+                    best = min(best, time.time() - t)
+                row[label + "_s"] = round(best, 4)
+            except Exception as e:
+                row[label + "_s"] = f"FAIL {type(e).__name__}"
+                if "RESOURCE_EXHAUSTED" in str(e):
+                    emit(row)
+                    raise
+        emit(row)
+        del cm, comm
+        import gc
+        gc.collect()
+
+
 @item("bench28_dev")
 def _bench28_dev():
     """2^28 with device-resident uint16 coeffs (8.6 GB): tight HBM —
-    strict per-batch sync + 512 MB batches leave room for transients."""
+    strict per-batch sync + 256 MB batches leave room for transients."""
     os.environ["LCPC_STREAM_INFLIGHT"] = "0"
-    os.environ["LCPC_STREAM_BATCH_BYTES"] = str(1 << 29)
+    os.environ["LCPC_STREAM_BATCH_BYTES"] = str(1 << 28)
     os.environ["LCPC_BENCH_HOST_COEFF_LOG2"] = "29"
     try:
         emit({"item": "bench28_dev", **_bench_with_kernel(28, 1, "v3")})
@@ -326,6 +387,114 @@ CAMPAIGN2 = [
     "brakedown29_host", "bench29_host",
 ]
 
+@item("collapse_validate")
+def _collapse_validate():
+    """One-pass collapse kernel == XLA limb-dot oracle on the real chip
+    (ligero 2^20 + brakedown 2^21 shapes, ft255 + ft63), plus timing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS
+    from lcpc_proof_of_storage_tpu.fields.limb import limb_field
+    from lcpc_proof_of_storage_tpu.ops.collapse_pallas import collapse_tensors
+
+    for fname, rows, npr in (("ft255", 128, 8192), ("ft255", 143, 235172),
+                             ("ft255", 512, 65536), ("ft63", 100, 5000)):
+        spec = FIELDS[fname]
+        lf = limb_field(spec)
+        rng = np.random.default_rng(rows)
+        c16 = rng.integers(0, 1 << 16, (rows, npr, spec.num_limbs16)).astype(
+            np.uint16)
+        c16[..., -1] = 0
+        t16 = rng.integers(0, 1 << 16, (2, rows, spec.num_limbs16)).astype(
+            np.uint32)
+        t16[..., -1] = 0
+        cm = jnp.asarray(c16)
+        tm = jnp.asarray(t16)
+        got_fn = jax.jit(lambda c, t: collapse_tensors(c, t, spec))
+        ref_fn = jax.jit(lambda c, t: lf.dot(
+            c.astype(jnp.uint32)[None], t[:, :, None, :], axis=1))
+        got = np.asarray(got_fn(cm, tm))
+        ref = np.asarray(ref_fn(cm, tm))
+        ok = bool(np.array_equal(got, ref))
+        best_k = best_x = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _ = int(np.asarray(got_fn(cm, tm))[0, 0, 0])
+            best_k = min(best_k, time.time() - t0)
+            t0 = time.time()
+            _ = int(np.asarray(ref_fn(cm, tm))[0, 0, 0])
+            best_x = min(best_x, time.time() - t0)
+        emit({"item": "collapse_validate", "field": fname,
+              "dims": [rows, npr], "ok": ok,
+              "kernel_s": round(best_k, 4), "xla_s": round(best_x, 4)})
+        if not ok:
+            raise SystemExit(f"MISMATCH collapse {fname} {rows}x{npr}")
+
+
+@item("proto_kernel")
+def _proto_kernel():
+    """Protocol latencies with the collapse kernel + packed columns:
+    ligero 2^20/2^21, brakedown 2^21 (one-shot commits)."""
+    from bench_protocol import run_protocol
+    for r in run_protocol(log2s=[20, 21], code="ligero", iters=3):
+        emit({"item": "proto_kernel", **r})
+    for r in run_protocol(log2s=[21], code="brakedown", iters=3):
+        emit({"item": "proto_kernel", **r})
+
+
+@item("proto_kernel25")
+def _proto_kernel25():
+    """2^25 device-resident protocol latencies with the collapse kernel."""
+    from bench_protocol import run_protocol
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    os.environ["LCPC_PROTO_KEEP_COMM"] = "device"
+    try:
+        for r in run_protocol(log2s=[25], code="ligero", iters=2):
+            emit({"item": "proto_kernel25", **r})
+        os.environ["LCPC_PROTO_STREAM_BYTES"] = "2e9"
+        for r in run_protocol(log2s=[25], code="brakedown", iters=2):
+            emit({"item": "proto_kernel25", **r})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+        os.environ.pop("LCPC_PROTO_KEEP_COMM", None)
+        os.environ.pop("LCPC_PROTO_STREAM_BYTES", None)
+
+
+@item("proto_profile_kernel")
+def _proto_profile_kernel():
+    """Phase decomposition with the kernel collapse (BENCH_SUMMARY table)."""
+    from profile_protocol import run_profile
+    emit({"item": "proto_profile_kernel", **run_profile(20, "ligero")})
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    try:
+        emit({"item": "proto_profile_kernel",
+              **run_profile(25, "brakedown", keep_comm="device")})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+
+
+@item("bench28_host")
+def _bench28_host():
+    """2^28 ligero with HOST-resident coefficients (the device-resident
+    8.6 GB mode RESOURCE_EXHAUSTs; this mirrors the 2^29 methodology)."""
+    os.environ["LCPC_BENCH_HOST_COEFF_LOG2"] = "28"
+    try:
+        emit({"item": "bench28_host", **_bench_with_kernel(28, 1, "v3")})
+    finally:
+        os.environ.pop("LCPC_BENCH_HOST_COEFF_LOG2", None)
+
+
+CAMPAIGN3 = [
+    "collapse_micro", "bench28_dev", "brakedown29_host", "bench29_host",
+]
+
+CAMPAIGN4 = [
+    "collapse_validate", "proto_kernel", "proto_kernel25",
+    "proto_profile_kernel", "bench28_host",
+]
+
 
 def main() -> None:
     import jax
@@ -337,6 +506,10 @@ def main() -> None:
     names = sys.argv[1:] or DEFAULT_ORDER
     if names == ["c2"]:
         names = CAMPAIGN2
+    elif names == ["c3"]:
+        names = CAMPAIGN3
+    elif names == ["c4"]:
+        names = CAMPAIGN4
     t0 = time.time()
     print(f"# campaign start {time.ctime()}; items: {names}", flush=True)
     _ = int(jnp.arange(4).sum())
@@ -376,6 +549,14 @@ def main() -> None:
             status = f"FAIL {type(e).__name__}: {e}"
             traceback.print_exc()
             emit({"item": name, "error": str(e)})
+            if "RESOURCE_EXHAUSTED" in str(e):
+                # an OOM poisons the axon backend: every later device call
+                # in this process fails too.  Exit nonzero so the retry
+                # wrapper restarts a fresh process that resumes the
+                # remaining items (campaign 2 lost its 2^29 runs to this).
+                print(f"### backend poisoned by {name}; exiting for restart",
+                      flush=True)
+                raise SystemExit(3)
         gc.collect()
         print(f"### {name} {status} in {time.time()-t:.0f}s", flush=True)
 
