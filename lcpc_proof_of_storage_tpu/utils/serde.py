@@ -81,18 +81,73 @@ def serialize_column(column, spec: FieldSpec) -> bytes:
     return buf.getvalue()
 
 
+def _limb_wire_width_ok(spec: FieldSpec) -> bool:
+    """True when the bincode field repr (8*u64_limbs LE bytes) IS the
+    16-bit limb buffer — every shipped field; guards exotic widths."""
+    return 2 * spec.num_limbs16 == 8 * spec.u64_limbs
+
+
+def _check_canonical_rows(le: "np.ndarray", spec: FieldSpec) -> None:
+    """Vectorized v < p over (n, L) '<u2' rows (same big-endian limb scan
+    as read_field's per-value check); raises like read_field."""
+    import numpy as np
+    p_limbs = np.frombuffer(
+        spec.modulus.to_bytes(2 * le.shape[-1], "little"), "<u2")
+    lt = np.zeros(len(le), bool)
+    decided = np.zeros(len(le), bool)
+    for j in reversed(range(le.shape[-1])):
+        a = le[:, j]
+        lt |= ~decided & (a < p_limbs[j])
+        decided |= a != p_limbs[j]
+    if not lt.all():
+        raise ValueError("non-canonical field element")
+
+
 def _write_column(buf: io.BytesIO, column, spec: FieldSpec) -> None:
-    write_field_vec(buf, column.col, spec)
+    # limb fast path: the LE wire bytes ARE the 16-bit limb buffer, so a
+    # prover-built column (limbs, ints never materialized) serializes as
+    # one numpy astype+tobytes instead of per-value int.to_bytes —
+    # Brakedown proofs carry ~1M values (6593 cols x 143 rows at 2^25)
+    import numpy as np
+    limbs = column._limbs if column._col is None else None
+    if limbs is not None and _limb_wire_width_ok(spec):
+        write_u64(buf, limbs.shape[0])
+        buf.write(np.ascontiguousarray(
+            np.asarray(limbs, np.uint32).astype("<u2")).tobytes())
+    else:
+        write_field_vec(buf, column.col, spec)
     write_u64(buf, len(column.path))
     for p in column.path:
         write_bytes(buf, p)
 
 
-def _read_column(buf: io.BytesIO, spec: FieldSpec):
+def _read_column(buf: io.BytesIO, spec: FieldSpec, out_limbs=None):
+    """out_limbs: optional (n_rows, L) uint32 destination row of a packed
+    proof array — filled with the column limbs when the fast path applies
+    (caller pre-sizes it from the first column)."""
+    import numpy as np
     from ..core.commit import LcColumn
-    col = read_field_vec(buf, spec)
     n = read_u64(buf)
-    path = [read_bytes(buf) for _ in range(n)]
+    col = None
+    limbs = None
+    if _limb_wire_width_ok(spec):
+        W8 = 8 * spec.u64_limbs
+        raw = buf.read(n * W8)
+        if len(raw) != n * W8:
+            raise ValueError("truncated column")
+        le = np.frombuffer(raw, "<u2").reshape(n, spec.num_limbs16)
+        _check_canonical_rows(le, spec)
+        if out_limbs is not None and out_limbs.shape == le.shape:
+            out_limbs[:] = le
+            limbs = out_limbs
+        else:
+            limbs = le.astype(np.uint32)
+    else:
+        col = read_field_vec(buf, spec)
+    k = read_u64(buf)
+    path = [read_bytes(buf) for _ in range(k)]
+    if limbs is not None:
+        return LcColumn(col_limbs=limbs, spec=spec, path=path)
     return LcColumn(col=col, path=path)
 
 
@@ -122,9 +177,27 @@ def deserialize_proof(data: bytes, spec: FieldSpec):
     ndt = read_u64(buf)
     p_random_vec = [read_field_vec(buf, spec) for _ in range(ndt)]
     ncols_open = read_u64(buf)
-    columns = [_read_column(buf, spec) for _ in range(ncols_open)]
-    return LcEvalProof(n_cols=n_cols, p_eval=p_eval,
-                       p_random_vec=p_random_vec, columns=columns)
+    columns = []
+    packed = None
+    for i in range(ncols_open):
+        if i == 0:
+            c0 = _read_column(buf, spec)
+            columns.append(c0)
+            if c0._limbs is not None and ncols_open > 1:
+                import numpy as np
+                packed = np.empty((ncols_open,) + c0._limbs.shape, np.uint32)
+                packed[0] = c0._limbs
+                c0._limbs = packed[0]
+        else:
+            columns.append(_read_column(
+                buf, spec, None if packed is None else packed[i]))
+    proof = LcEvalProof(n_cols=n_cols, p_eval=p_eval,
+                        p_random_vec=p_random_vec, columns=columns)
+    if packed is not None and all(
+            c._limbs is not None and c._limbs.base is packed
+            for c in columns):
+        proof._cols_packed = packed       # verify()'s staging fast path
+    return proof
 
 
 def serialize_commit(comm, spec: FieldSpec) -> bytes:
