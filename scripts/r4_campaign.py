@@ -490,9 +490,25 @@ CAMPAIGN3 = [
     "collapse_micro", "bench28_dev", "brakedown29_host", "bench29_host",
 ]
 
+@item("bench27_tuned")
+def _bench27_tuned():
+    """2^27 device-coeff with 2 GB stream batches + deeper in-flight
+    window: fewer per-batch dispatch/CV overheads (measured +13% at 2^26)
+    chasing the 13.4 s reference anchor (r4 first pass: 15.07 s)."""
+    os.environ["LCPC_STREAM_INFLIGHT"] = "2"
+    os.environ["LCPC_STREAM_BATCH_BYTES"] = str(2 << 30)
+    os.environ["LCPC_BENCH_HOST_COEFF_LOG2"] = "28"
+    try:
+        emit({"item": "bench27_tuned", **_bench_with_kernel(27, 2, "v3")})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+        os.environ.pop("LCPC_STREAM_BATCH_BYTES", None)
+        os.environ.pop("LCPC_BENCH_HOST_COEFF_LOG2", None)
+
+
 CAMPAIGN4 = [
     "collapse_validate", "proto_kernel", "proto_kernel25",
-    "proto_profile_kernel", "bench28_host",
+    "proto_profile_kernel", "bench27_tuned", "bench28_host",
 ]
 
 
