@@ -449,9 +449,25 @@ def v3_device_tables(spec: FieldSpec, n: int,
 # kernels
 # ---------------------------------------------------------------------------
 
-def _kernel_a(spec: FieldSpec, halves: tuple):
+def _kernel_a(spec: FieldSpec, halves: tuple, nz: int = 0, skip: int = 0):
+    """nz > 0: the block carries only the nz nonzero j2 rows; the bitrev
+    permutation + 2^skip duplication (the former jnp.take HBM pass) runs
+    IN VMEM — the kernel reads 1/2^skip of the data the full block would."""
+    if nz:
+        rev_m = tuple(int(v) for v in _bit_reverse_perm(nz))
+
     def kernel(x_ref, w_ref, lo_ref, tw_ref, out_ref):
-        x = x_ref[0]                                  # (L, n2, TL)
+        x = x_ref[0]                                  # (L, n2|nz, TL)
+        if nz:
+            if nz > 1:
+                x = jnp.concatenate([x[:, r : r + 1, :] for r in rev_m],
+                                    axis=1)           # static bitrev rows
+            if skip:
+                # out[t2] = perm[t2 >> skip]: consecutive duplication
+                L_, _, TL_ = x.shape
+                x = jnp.broadcast_to(x[:, :, None, :],
+                                     (L_, nz, 1 << skip, TL_)).reshape(
+                                         L_, nz << skip, TL_)
         x = jnp.transpose(x, (0, 2, 1))               # (L, TL, n2)
         if halves:
             x = _dit_stages3(x, w_ref, lo_ref, spec, halves)
@@ -470,11 +486,12 @@ def _kernel_b(spec: FieldSpec, halves_desc: tuple):
 
 @functools.lru_cache(maxsize=None)
 def _call_a(spec: FieldSpec, n1: int, n2: int, batch: int, halves: tuple,
-            w_rows: int, nf: int):
+            w_rows: int, nf: int, nz: int = 0, skip: int = 0):
     L = spec.num_limbs16
     TL = min(_TL_A, n1)
     nt = n1 // TL
-    kernel = _kernel_a(spec, halves)
+    kernel = _kernel_a(spec, halves, nz, skip)
+    in_rows = nz if nz else n2
     # grid (j, b): b innermost so the per-tile diag/table blocks are fetched
     # once per j, not once per (j, b)
     return pl.pallas_call(
@@ -482,7 +499,7 @@ def _call_a(spec: FieldSpec, n1: int, n2: int, batch: int, halves: tuple,
         out_shape=jax.ShapeDtypeStruct((batch, L, n2, n1), jnp.uint32),
         grid=(nt, batch),
         in_specs=[
-            pl.BlockSpec((1, L, n2, TL), lambda j, b: (b, 0, 0, j),
+            pl.BlockSpec((1, L, in_rows, TL), lambda j, b: (b, 0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w_rows, n2), lambda j, b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -544,10 +561,22 @@ def ntt_pallas3(x: jnp.ndarray, spec: FieldSpec,
         w_b, lo_b = jnp.asarray(t["w_b"]), jnp.asarray(t["lo_b"])
         rev_in = jnp.asarray(t["rev_in"])
 
-    xm = jnp.transpose(x, (0, 2, 1)).reshape(batch, L, n2, n1)
-    xm = jnp.take(xm, rev_in, axis=2)            # bitrev + dup j2 rows
-    xm = _call_a(spec, n1, n2, batch, t["halves_a"], t["w_a"].shape[0],
-                 t["nf_a"])(xm, w_a, lo_a, tw)   # rows k2, lanes j1
+    # only the first nz_rows = n2 >> skip j2-rows carry data (rev_in never
+    # indexes past them): slice BEFORE the limb transpose so the pass
+    # processes 1/2^skip of the matrix (rho=1/4 encode: 4x less traffic)
+    nz_rows = n2 >> t["skip"]
+    xs = x[:, : nz_rows * n1, :]
+    xm = jnp.transpose(xs, (0, 2, 1)).reshape(batch, L, nz_rows, n1)
+    if (nz_rows <= 256
+            and os.environ.get("LCPC_PALLAS3_INKERNEL_TAKE", "1") != "0"):
+        # bitrev + duplication runs inside kernel A (VMEM row shuffle) —
+        # removes the take's HBM round trip and shrinks A's read
+        xm = _call_a(spec, n1, n2, batch, t["halves_a"], t["w_a"].shape[0],
+                     t["nf_a"], nz_rows, t["skip"])(xm, w_a, lo_a, tw)
+    else:
+        xm = jnp.take(xm, rev_in, axis=2)        # bitrev + dup j2 rows
+        xm = _call_a(spec, n1, n2, batch, t["halves_a"], t["w_a"].shape[0],
+                     t["nf_a"])(xm, w_a, lo_a, tw)  # rows k2, lanes j1
     xm = _call_b(spec, n1, n2, batch, t["halves_b"], t["w_b"].shape[0],
                  t["nf_b"])(xm, w_b, lo_b)       # lanes r1 (k1=rev1(r1))
     xm = jnp.swapaxes(xm, 2, 3)                  # (b, L, n1[r1], n2[k2])

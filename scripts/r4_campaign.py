@@ -490,6 +490,58 @@ CAMPAIGN3 = [
     "collapse_micro", "bench28_dev", "brakedown29_host", "bench29_host",
 ]
 
+@item("v3b_validate")
+def _v3b_validate():
+    """v3 with sliced input + in-kernel bitrev/dup (round-4b): bit-equal
+    to the XLA oracle on hardware, then raw timing vs the take-pass v3."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.fields.field import FT255
+    from lcpc_proof_of_storage_tpu.ops.ntt import ntt
+    from lcpc_proof_of_storage_tpu.ops.ntt_pallas3 import (
+        ntt_pallas3, v3_device_tables)
+
+    spec = FT255
+    L = spec.num_limbs16
+    rng = np.random.default_rng(0)
+    for log_n in (15, 17, 18):
+        n = 1 << log_n
+        b = (1 << 21) // n
+        nz = n // 4
+        xh = rng.integers(0, 1 << 16, (b, n, L), dtype=np.uint32)
+        xh[:, nz:, :] = 0
+        x = jnp.asarray(xh)
+        tabs = v3_device_tables(spec, n, n_nonzero=nz)
+        ref = np.asarray(jax.jit(lambda a: ntt(a, spec))(x))
+        gk = jax.jit(lambda a, tb: ntt_pallas3(
+            a, spec, n_nonzero=nz, tables=tb))
+        got = np.asarray(gk(x, tabs))
+        ok = bool(np.array_equal(got, ref))
+        emit({"item": "v3b_validate", "n": n, "ok": ok})
+        if not ok:
+            raise SystemExit(f"MISMATCH v3b n={n}")
+        gs = jax.jit(lambda a, tb: ntt_pallas3(
+            a, spec, n_nonzero=nz, tables=tb).sum(dtype=jnp.uint32))
+        os.environ["LCPC_PALLAS3_INKERNEL_TAKE"] = "0"
+        try:
+            go = jax.jit(lambda a, tb: ntt_pallas3(
+                a, spec, n_nonzero=nz, tables=tb).sum(dtype=jnp.uint32) + 0)
+            s_old, _ = _steady(go, x, tabs)
+        finally:
+            os.environ.pop("LCPC_PALLAS3_INKERNEL_TAKE", None)
+        s_new, _ = _steady(gs, x, tabs)
+        emit({"item": "v3b_validate", "n": n, "v3b_s": round(s_new, 4),
+              "v3_take_s": round(s_old, 4),
+              "speedup": round(s_old / s_new, 3)})
+
+
+@item("bench20_v3b")
+def _bench20_v3b():
+    emit({"item": "bench20_v3b", **_bench_with_kernel(20, 3, "v3")})
+
+
 @item("bench27_tuned")
 def _bench27_tuned():
     """2^27 device-coeff with 2 GB stream batches + deeper in-flight
@@ -507,8 +559,9 @@ def _bench27_tuned():
 
 
 CAMPAIGN4 = [
-    "collapse_validate", "proto_kernel", "proto_kernel25",
-    "proto_profile_kernel", "bench27_tuned", "bench28_host",
+    "v3b_validate", "bench20_v3b", "collapse_validate", "proto_kernel",
+    "proto_kernel25", "proto_profile_kernel", "bench27_tuned",
+    "bench28_host",
 ]
 
 
