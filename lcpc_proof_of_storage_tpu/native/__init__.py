@@ -114,6 +114,10 @@ def native():
                                     u64p, ctypes.c_int64, u64p,
                                     ctypes.c_uint64, u64p]
     lib.pos_ntt_rows_w4.restype = ctypes.c_int
+    lib.pos_intt_rows_w4.argtypes = [u64p, ctypes.c_int64, u64p,
+                                     ctypes.c_int64, u64p, ctypes.c_uint64,
+                                     u64p, u64p]
+    lib.pos_intt_rows_w4.restype = ctypes.c_int
     lib.pos_transpose_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
                                       u64p]
     lib.pos_scatter_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
@@ -281,6 +285,28 @@ def ntt_rows_w4(vals, out, n: int, p: int, w: int) -> bool:
                              out.ctypes.data_as(u64p), n,
                              p4.ctypes.data_as(u64p), n0inv,
                              tw.ctypes.data_as(u64p))
+    return rc == 0
+
+
+def intt_rows_w4(vals, out, n: int, p: int, w: int) -> bool:
+    """Batched inverse NTT for 4-word fields: vals (k, n, 4) -> out
+    (k, n, 4) coefficient rows.  w = forward primitive n-th root (the
+    inverse root + n^-1 scaling are derived and cached here)."""
+    lib = native()
+    if lib is None:
+        return False
+    import numpy as np
+    tw_inv, p4, n0inv = _w4_tables(p, n, pow(w, -1, p))
+    M64 = (1 << 64) - 1
+    ninv_m = (pow(n, -1, p) << 256) % p
+    ninv = np.array([(ninv_m >> (64 * q)) & M64 for q in range(4)],
+                    np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.pos_intt_rows_w4(vals.ctypes.data_as(u64p), vals.shape[0],
+                              out.ctypes.data_as(u64p), n,
+                              p4.ctypes.data_as(u64p), n0inv,
+                              tw_inv.ctypes.data_as(u64p),
+                              ninv.ctypes.data_as(u64p))
     return rc == 0
 
 

@@ -1183,4 +1183,22 @@ int pos_ntt_rows_w4(const uint64_t* in, int64_t k, int64_t n_in,
   return 0;
 }
 
+// Batched inverse NTT over a 4-word field: forward transform with the
+// INVERSE root's Montgomery twiddle table, then scale by n^-1 (supplied in
+// the Montgomery domain so the scaling is one montmul per element).
+int pos_intt_rows_w4(const uint64_t* in, int64_t k, uint64_t* out,
+                     int64_t n, const uint64_t* p4, uint64_t n0inv,
+                     const uint64_t* tw_inv_mont,
+                     const uint64_t* n_inv_mont) {
+  int rc = pos_ntt_rows_w4(in, k, n, out, n, p4, n0inv, tw_inv_mont);
+  if (rc != 0) return rc;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < k * n; i++) {
+    uint64_t r[4];
+    mont_mul_w4(out + 4 * i, n_inv_mont, p4, n0inv, r);
+    for (int q = 0; q < 4; q++) out[4 * i + q] = r[q];
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -951,6 +951,20 @@ def _decode_batch(spec: FieldSpec):
             return u64_to_limbs_np(out)
 
         return run
+    if _host_w4_spec(spec):
+        from .. import native as _native
+
+        def run4(mat):
+            m = np.asarray(mat)
+            n = m.shape[1]
+            vals = np.ascontiguousarray(limbs_to_w4_np(m))
+            out = np.empty_like(vals)
+            ok = _native.intt_rows_w4(vals, out, n, spec.modulus,
+                                      spec.nth_root_of_unity(n))
+            assert ok
+            return w4_to_limbs_np(out)
+
+        return run4
     return jax.jit(lambda mat: intt(mat, spec))
 
 

@@ -124,3 +124,43 @@ def test_w4_writer_root_matches_device_path(tmp_path):
             _encode_batch.cache_clear()
     assert roots[0] == roots[1]
     assert files[0] == files[1]
+
+
+def test_native_intt_w4_roundtrip():
+    """w4 forward -> native inverse recovers the input (ft253_192)."""
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS, ints_to_limbs
+    from lcpc_proof_of_storage_tpu.pos.storage import (limbs_to_w4_np,
+                                                       w4_to_limbs_np)
+    spec = FIELDS["ft253_192"]
+    rng = np.random.default_rng(3)
+    k, n = 2, 128
+    vals = [[int(x) % spec.modulus for x in rng.integers(0, 1 << 62, n)]
+            for _ in range(k)]
+    limbs = np.stack([ints_to_limbs(v, spec) for v in vals])
+    w4 = np.ascontiguousarray(limbs_to_w4_np(limbs))
+    fwd = np.empty((k, n, 4), np.uint64)
+    w = spec.nth_root_of_unity(n)
+    assert nat.ntt_rows_w4(w4, fwd, n, spec.modulus, w)
+    back = np.empty_like(fwd)
+    assert nat.intt_rows_w4(fwd, back, n, spec.modulus, w)
+    assert np.array_equal(w4_to_limbs_np(back), limbs)
+
+
+def test_w4_reader_decode_roundtrip(tmp_path):
+    """Write (native w4 encode) then decode_to_bytes (native w4 inverse)
+    recovers the original bytes for ft253_192."""
+    from lcpc_proof_of_storage_tpu.fields.field import FIELDS
+    from lcpc_proof_of_storage_tpu.pos.storage import (EncodedFileReader,
+                                                       EncodedFileWriter)
+    spec = FIELDS["ft253_192"]
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, size=9_000, dtype=np.uint8).tobytes()
+    p = tmp_path / "w4dec.porenc"
+    w = EncodedFileWriter(16, 64, len(data), p, spec)
+    w.push_bytes(data)
+    meta, _ = w.finalize_to_merkle_tree()
+    r = EncodedFileReader(p, spec, 16, 64, meta.rows_written,
+                          meta.row_capacity)
+    out = r.decode_to_bytes()
+    r.close()
+    assert out[: len(data)] == data
