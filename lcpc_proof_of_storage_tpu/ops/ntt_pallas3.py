@@ -567,7 +567,11 @@ def ntt_pallas3(x: jnp.ndarray, spec: FieldSpec,
     nz_rows = n2 >> t["skip"]
     xs = x[:, : nz_rows * n1, :]
     xm = jnp.transpose(xs, (0, 2, 1)).reshape(batch, L, nz_rows, n1)
-    if (nz_rows <= 256
+    # in-kernel take gate: the unrolled row shuffle grows the Mosaic MLIR;
+    # the axon remote-compile endpoint rejects the payload (HTTP 413) at
+    # nz_rows = 64 (n = 2^18) — measured working and faster at nz <= 32
+    # (2^20 headline n_cols = 2^15..2^17); larger n keeps the XLA take
+    if (nz_rows <= int(os.environ.get("LCPC_PALLAS3_INKERNEL_NZMAX", "32"))
             and os.environ.get("LCPC_PALLAS3_INKERNEL_TAKE", "1") != "0"):
         # bitrev + duplication runs inside kernel A (VMEM row shuffle) —
         # removes the take's HBM round trip and shrinks A's read

@@ -413,8 +413,19 @@ def _collapse_validate():
         cm = jnp.asarray(c16)
         tm = jnp.asarray(t16)
         got_fn = jax.jit(lambda c, t: collapse_tensors(c, t, spec))
-        ref_fn = jax.jit(lambda c, t: lf.dot(
-            c.astype(jnp.uint32)[None], t[:, :, None, :], axis=1))
+
+        # row-chunked XLA oracle: the one-shot lf.dot's widened transient
+        # is 20 GB of HLO temp at brakedown 2^25 dims (compile-time OOM) —
+        # which is exactly why the kernel exists; chunk to ~1 GB
+        def _ref(c, t):
+            acc = None
+            for r0 in range(0, c.shape[0], 16):
+                part = lf.dot(c[r0 : r0 + 16].astype(jnp.uint32)[None],
+                              t[:, r0 : r0 + 16, None, :], axis=1)
+                acc = part if acc is None else lf.add(acc, part)
+            return acc
+
+        ref_fn = jax.jit(_ref)
         got = np.asarray(got_fn(cm, tm))
         ref = np.asarray(ref_fn(cm, tm))
         ok = bool(np.array_equal(got, ref))
