@@ -539,6 +539,37 @@ def _collapse_kernel_fn(spec: FieldSpec):
         jnp.uint16))
 
 
+@functools.lru_cache(maxsize=None)
+def _collapse_pack_fn(spec: FieldSpec):
+    from ..ops.collapse_pallas import pack_coeffs
+    return jax.jit(lambda c: tuple(pack_coeffs(c, spec)))
+
+
+@functools.lru_cache(maxsize=None)
+def _collapse_packed_fn(spec: FieldSpec):
+    from ..ops.collapse_pallas import collapse_tensors
+    return jax.jit(lambda c, t, pk: collapse_tensors(
+        c, t, spec, packed=list(pk)).astype(jnp.uint16))
+
+
+def _kernel_collapse_cached(comm: "LcCommit", tensors: list[list[int]],
+                            spec: FieldSpec):
+    """Kernel collapse of several tensors against a commitment, reusing
+    the packed operand layout across calls: the (rows, npr, Lp) ->
+    npr-minor relayout was ~0.8 s of the measured 0.84 s one-shot
+    Brakedown 2^25 collapse, and every prove against the same commitment
+    repeats it — cache it on the LcCommit.  Returns [(ints, limbs)...]."""
+    lf = limb_field(spec)
+    packed = getattr(comm, "_collapse_packed", None)
+    if packed is None:
+        packed = _collapse_pack_fn(spec)(comm.coeffs)
+        comm._collapse_packed = packed
+    t = jnp.stack([lf.array(tv) for tv in tensors])
+    out = np.asarray(_collapse_packed_fn(spec)(comm.coeffs, t, packed),
+                     dtype=np.uint32)
+    return [(limbs_to_ints(out[i]), out[i]) for i in range(len(tensors))]
+
+
 def _use_collapse_kernel(spec: FieldSpec) -> bool:
     from ..ops.collapse_pallas import use_collapse_kernel
     return use_collapse_kernel(spec)
@@ -714,7 +745,11 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
             rand_tensor = _challenge_tensor(tr, spec, comm.n_rows)
         with _phase("collapse", "prove"):
             if i == 0:
-                if batched_collapse:
+                if kernel_collapse:
+                    (p_random, pr_limbs), (p_eval, pe_limbs) = \
+                        _kernel_collapse_cached(
+                            comm, [rand_tensor, outer_tensor], spec)
+                elif batched_collapse:
                     from .streamed import collapse_streamed
                     (p_random, pr_limbs), (p_eval, pe_limbs) = \
                         collapse_streamed(comm, enc,
@@ -723,7 +758,10 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
                     p_random, p_eval, pr_limbs, pe_limbs = _collapse2(
                         comm.coeffs, rand_tensor, outer_tensor, spec)
             else:
-                if batched_collapse:
+                if kernel_collapse:
+                    (p_random, pr_limbs), = _kernel_collapse_cached(
+                        comm, [rand_tensor], spec)
+                elif batched_collapse:
                     from .streamed import collapse_streamed
                     (p_random, pr_limbs), = collapse_streamed(
                         comm, enc, [rand_tensor])

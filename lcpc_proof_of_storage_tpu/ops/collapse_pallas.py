@@ -133,7 +133,7 @@ def _collapse_call(spec: FieldSpec, Rg: int, rg: int, T: int, npr_pad: int,
 
 
 def _collapse_chunk(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
-                    spec: FieldSpec) -> jnp.ndarray:
+                    spec: FieldSpec, packed=None) -> jnp.ndarray:
     """(rows, npr, L) x (T, rows, L) -> (T, npr, L), rows <= _MAX_ROWS."""
     L = spec.num_limbs16
     Lp = L // 2
@@ -144,11 +144,9 @@ def _collapse_chunk(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
     TM = min(_TM, 1 << max(7, (npr - 1).bit_length()))
     npr_pad = -(-npr // TM) * TM
 
-    c = coeffs.astype(U32)
-    cpk = c[..., 0::2] | (c[..., 1::2] << 16)            # (rows, npr, Lp)
-    cpk = jnp.transpose(cpk, (0, 2, 1))                  # (rows, Lp, npr)
-    cpk = jnp.pad(cpk, ((0, Rg * rg - rows), (0, 0), (0, npr_pad - npr)))
-    cpk = cpk.reshape(Rg, rg * Lp, npr_pad)
+    if packed is None:
+        packed = pack_coeffs_chunk(coeffs, spec)
+    cpk = packed
 
     tv = jnp.pad(t_limbs.astype(U32), ((0, 0), (0, Rg * rg - rows), (0, 0)))
     tv = tv.reshape(T, Rg, rg * L)
@@ -157,22 +155,51 @@ def _collapse_chunk(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 1))[:, :npr, :]     # (T, npr, L)
 
 
+def pack_coeffs_chunk(coeffs: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Kernel operand layout for one <=_MAX_ROWS chunk: packed limb pairs,
+    npr-minor ((Rg, rg*Lp, npr_pad)).  The (rows, npr, Lp) -> (rows, Lp,
+    npr) minor-axis transpose is the dominant cost of a one-shot collapse
+    (~0.8 s of the measured 0.84 s at Brakedown 2^25) — prove() caches
+    this result on the commitment so repeated proofs skip it."""
+    L = spec.num_limbs16
+    Lp = L // 2
+    rows, npr, _ = coeffs.shape
+    rg = max(1, 8 // Lp)
+    Rg = -(-rows // rg)
+    TM = min(_TM, 1 << max(7, (npr - 1).bit_length()))
+    npr_pad = -(-npr // TM) * TM
+    c = coeffs.astype(U32)
+    cpk = c[..., 0::2] | (c[..., 1::2] << 16)            # (rows, npr, Lp)
+    cpk = jnp.transpose(cpk, (0, 2, 1))                  # (rows, Lp, npr)
+    cpk = jnp.pad(cpk, ((0, Rg * rg - rows), (0, 0), (0, npr_pad - npr)))
+    return cpk.reshape(Rg, rg * Lp, npr_pad)
+
+
+def pack_coeffs(coeffs: jnp.ndarray, spec: FieldSpec) -> list:
+    """Per-chunk kernel operands for the whole matrix (cacheable)."""
+    return [pack_coeffs_chunk(coeffs[r0 : r0 + _MAX_ROWS], spec)
+            for r0 in range(0, coeffs.shape[0], _MAX_ROWS)]
+
+
 def collapse_tensors(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
-                     spec: FieldSpec) -> jnp.ndarray:
+                     spec: FieldSpec, packed: list | None = None) -> jnp.ndarray:
     """v_t = sum_i t_limbs[t, i] * coeffs[i] mod p for each tensor t.
 
     coeffs: (n_rows, n_per_row, L) uint16/uint32 canonical limbs (device).
     t_limbs: (T, n_rows, L) uint32 canonical limbs.
+    packed: optional pack_coeffs(coeffs) result (skips the relayout).
     Returns (T, n_per_row, L) canonical uint32 limbs.  Jittable; rows
     beyond _MAX_ROWS split into chunks whose partials are added mod p.
     """
     lf = limb_field(spec)
     rows = coeffs.shape[0]
     if rows <= _MAX_ROWS:
-        return _collapse_chunk(coeffs, t_limbs, spec)
+        return _collapse_chunk(coeffs, t_limbs, spec,
+                               packed[0] if packed else None)
     acc = None
-    for r0 in range(0, rows, _MAX_ROWS):
+    for i, r0 in enumerate(range(0, rows, _MAX_ROWS)):
         r1 = min(r0 + _MAX_ROWS, rows)
-        part = _collapse_chunk(coeffs[r0:r1], t_limbs[:, r0:r1], spec)
+        part = _collapse_chunk(coeffs[r0:r1], t_limbs[:, r0:r1], spec,
+                               packed[i] if packed else None)
         acc = part if acc is None else lf.add(acc, part)
     return acc
