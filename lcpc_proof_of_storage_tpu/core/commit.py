@@ -919,7 +919,10 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     with _phase("sample", "verify"):
         cols_to_open = _columns_to_open(tr, n_cols, n_col_opens)
 
-    if any(len(c.col) != n_rows for c in proof.columns):
+    # len(c) reads the limb array without materializing ._col (python ints);
+    # materializing here would permanently disable the packed staging fast
+    # path below for every proof
+    if any(len(c) != n_rows for c in proof.columns):
         # ragged opened columns: the reference's per-column zip silently
         # truncates the dot products but such a proof can never verify (the
         # leaf hash covers the full column) — reject cleanly instead of

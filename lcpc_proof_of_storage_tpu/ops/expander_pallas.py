@@ -176,8 +176,19 @@ def _use_packed(spec: FieldSpec) -> bool:
             and os.environ.get("LCPC_EXPANDER_PACKED", "1") != "0")
 
 
-def _use_onepass(spec: FieldSpec) -> bool:
-    """One-pass kernel (default): packed operands required (even L)."""
+def _onepass_max_slots(spec: FieldSpec) -> int:
+    """Raw-digit uint32 accumulator bound: K * 2L * 2^16 < 2^32."""
+    return (1 << 15) // spec.num_limbs16
+
+
+def _use_onepass(spec: FieldSpec, n_slots: int | None = None) -> bool:
+    """One-pass kernel (default): packed operands required (even L), and
+    the slot count must respect the uint32 accumulator bound — beyond it
+    the group kernel (which carries per group-pass) is used instead."""
+    if n_slots is not None:
+        kg = max(1, 16 // spec.num_limbs16)     # slot-group padding
+        if -(-n_slots // kg) * kg > _onepass_max_slots(spec):
+            return False
     return (_use_packed(spec)
             and os.environ.get("LCPC_EXPANDER_ONEPASS", "1") != "0")
 
@@ -195,7 +206,7 @@ def gather_matvec_fused(gm, x: jnp.ndarray, spec: FieldSpec,
     operand and the value tables ride as one uint32 (lo | hi<<16) — the
     matvec is gather/bandwidth-bound, so halving the bytes per row is the
     dominant lever.  Unpack is 2 VPU ops per limb row inside the kernel."""
-    if _use_onepass(spec):
+    if _use_onepass(spec, gm.idx.shape[0]):
         return gather_matvec_onepass(gm, x, spec, tables=tables)
     lf = limb_field(spec)
     b = x.shape[0]
@@ -264,7 +275,7 @@ def _fused_tables_packed(gm, spec: FieldSpec):
 def fused_device_tables(gm, spec: FieldSpec):
     """(idx, vals) numpy tables in the layout gather_matvec_fused expects
     for the current packing/one-pass mode — use for device_operands()."""
-    if _use_onepass(spec):
+    if _use_onepass(spec, gm.idx.shape[0]):
         idx_o, vals_o, _, _, _ = _onepass_tables(gm, spec)
         return idx_o, vals_o
     if _use_packed(spec):
@@ -435,6 +446,10 @@ def gather_matvec_onepass(gm, x: jnp.ndarray, spec: FieldSpec,
     Lp = L // 2
     idx_np, vals_np, m_pad, Kg2, kg = _onepass_tables(gm, spec)
     K_pad = Kg2 * kg
+    assert K_pad <= _onepass_max_slots(spec), (
+        f"one-pass expander kernel: {K_pad} slots overflows the uint32 "
+        f"raw-digit accumulator (max {_onepass_max_slots(spec)}); "
+        f"gather_matvec_fused routes such matrices to the group kernel")
     if tables is not None:
         idx_t, vals_t = tables
         assert vals_t.shape[0] == Kg2 and vals_t.shape[1] == kg * Lp, \

@@ -143,7 +143,10 @@ def _read_column(buf: io.BytesIO, spec: FieldSpec, out_limbs=None):
         else:
             limbs = le.astype(np.uint32)
     else:
-        col = read_field_vec(buf, spec)
+        # the length prefix `n` is already consumed above — read the vector
+        # body directly (read_field_vec would consume a second u64 length
+        # and misparse the stream)
+        col = [read_field(buf, spec) for _ in range(n)]
     k = read_u64(buf)
     path = [read_bytes(buf) for _ in range(k)]
     if limbs is not None:
@@ -177,6 +180,11 @@ def deserialize_proof(data: bytes, spec: FieldSpec):
     ndt = read_u64(buf)
     p_random_vec = [read_field_vec(buf, spec) for _ in range(ndt)]
     ncols_open = read_u64(buf)
+    # every serialized column costs at least two u64 length prefixes, so an
+    # untrusted count beyond that is rejected before any loop/allocation
+    if ncols_open * 16 > len(data) - buf.tell():
+        raise ValueError("proof declares more columns than the buffer "
+                         "can hold")
     columns = []
     packed = None
     for i in range(ncols_open):
@@ -185,6 +193,15 @@ def deserialize_proof(data: bytes, spec: FieldSpec):
             columns.append(c0)
             if c0._limbs is not None and ncols_open > 1:
                 import numpy as np
+                # bound the untrusted wire count by what the remaining
+                # bytes could possibly hold (>= 16-byte length prefixes +
+                # column body each) before allocating the packed array — a
+                # malicious ncols_open=2^40 must not drive a huge np.empty
+                body = 16 + c0._limbs.shape[0] * 8 * spec.u64_limbs
+                remaining = len(data) - buf.tell()
+                if (ncols_open - 1) * body > remaining:
+                    raise ValueError("proof declares more columns than the "
+                                     "buffer can hold")
                 packed = np.empty((ncols_open,) + c0._limbs.shape, np.uint32)
                 packed[0] = c0._limbs
                 c0._limbs = packed[0]
