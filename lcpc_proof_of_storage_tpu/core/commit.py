@@ -87,6 +87,57 @@ class LcColumn:
         return f"LcColumn(n_rows={len(self)}, path_len={len(self.path)})"
 
 
+class _LimbRow(list):
+    """list[int] proof row backed by its (n, L) uint32 limb array.
+
+    prove()/serde attach the limbs they already hold so verify() skips the
+    per-int re-conversion (~83 ms for a Brakedown 2^25 proof's 470k row
+    values).  ANY in-place mutation drops the backing — the ints are always
+    authoritative, so tampering a row value behaves exactly as with a plain
+    list (regression: test_tampered_proof_rejected)."""
+
+    def __init__(self, ints, limbs=None):
+        super().__init__(ints)
+        self._limbs = limbs
+
+    def _inv(self):
+        self._limbs = None
+
+    def row_limbs(self, spec: FieldSpec) -> np.ndarray:
+        if self._limbs is not None and self._limbs.shape == (
+                len(self), spec.num_limbs16):
+            return np.asarray(self._limbs, np.uint32)
+        return ints_to_limbs(list(self), spec)
+
+    def __reduce__(self):
+        # deepcopy/pickle keep the backing only when untouched
+        return (_LimbRow, (list(self), self._limbs))
+
+
+for _m in ("__setitem__", "__delitem__", "__iadd__", "__imul__", "append",
+           "extend", "insert", "pop", "remove", "clear", "sort", "reverse"):
+    def _make(_m=_m):
+        base = getattr(list, _m)
+
+        def method(self, *a, **kw):
+            self._inv()
+            return base(self, *a, **kw)
+
+        method.__name__ = _m
+        return method
+
+    setattr(_LimbRow, _m, _make())
+del _m, _make
+
+
+def _row_limbs_of(v, spec: FieldSpec) -> np.ndarray:
+    """(n, L) uint32 limbs of a proof row — the attached backing when the
+    row is an unmutated _LimbRow, a fresh conversion otherwise."""
+    if isinstance(v, _LimbRow):
+        return v.row_limbs(spec)
+    return ints_to_limbs(v, spec)
+
+
 @dataclass
 class LcEvalProof:
     """Evaluation proof (lcpc-2d/src/lib.rs:516-529)."""
@@ -357,6 +408,13 @@ def _paths_from_sibs(sibs: np.ndarray, k: int, depth: int) -> list[list[bytes]]:
              for l in range(depth)] for i in range(k)]
 
 
+def _packed_from_sibs(sibs: np.ndarray, k: int, depth: int) -> np.ndarray:
+    """(k*depth, 8) uint32 sibling digests -> (k, depth, 32) uint8 array
+    (the fold's sibs_packed fast path)."""
+    return np.ascontiguousarray(
+        sibs.astype("<u4", copy=False)).view(np.uint8).reshape(k, depth, 32)
+
+
 def merkle_paths_batch(comm: "LcCommit",
                        columns: list[int]) -> list[list[bytes]]:
     """merkle_path for many columns in one vectorized gather.
@@ -487,10 +545,13 @@ def _fold_path(leaf: bytes, col_num: int, path: list[bytes]) -> bytes:
 
 
 def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
-                      paths: list[list[bytes]]) -> list[bytes]:
-    """_fold_path for many columns: one batched blake3 call per LEVEL
-    (native pos_blake3_many) instead of one per (column, level) — the
-    verifier's k x depth fold is 118k hashes for a Brakedown 2^21 proof.
+                      paths: list[list[bytes]],
+                      sibs_packed: np.ndarray | None = None) -> list[bytes]:
+    """_fold_path for many columns: the whole k x depth fold in ONE native
+    call (pos_fold_paths) — the per-LEVEL batched blake3 staging cost
+    ~39-77 ms for a Brakedown 2^25 proof's 6593 x 13 fold, mostly in the
+    python-side message assembly.  `sibs_packed` ((k, depth, 32) uint8,
+    attached by serde/prove) skips re-joining the per-column path bytes.
     Falls back to per-column folds when path lengths differ (malformed
     proofs; the roots then mismatch exactly as the serial fold decides)."""
     k = len(col_nums)
@@ -508,10 +569,18 @@ def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
     h = np.frombuffer(b"".join(leaf_bytes), np.uint8).reshape(k, 32)
     if depth == 0:
         return [h[i].tobytes() for i in range(k)]
-    sibs = np.frombuffer(
-        b"".join(b"".join(p) for p in paths), np.uint8).reshape(k, depth, 32)
+    if (sibs_packed is not None and sibs_packed.shape == (k, depth, 32)
+            and sibs_packed.dtype == np.uint8):
+        sibs = sibs_packed
+    else:
+        sibs = np.frombuffer(
+            b"".join(b"".join(p) for p in paths),
+            np.uint8).reshape(k, depth, 32)
     cols = np.asarray(col_nums, np.int64)
-    from ..native import blake3_many_native
+    from ..native import blake3_many_native, fold_paths_native
+    folded = fold_paths_native(h, sibs, cols)
+    if folded is not None:
+        return [folded[i].tobytes() for i in range(k)]
     msg = np.empty((k, 64), np.uint8)
     for lvl in range(depth):
         even = ((cols >> lvl) & 1) == 0
@@ -530,11 +599,22 @@ def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
     return [h[i].tobytes() for i in range(k)]
 
 
-@functools.lru_cache(maxsize=None)
 def _collapse_kernel_fn(spec: FieldSpec):
     """One-pass Pallas collapse (ops/collapse_pallas): no widened-product
-    HBM transient, in-kernel Barrett; uint16 limbs over the wire."""
-    from ..ops.collapse_pallas import collapse_tensors
+    HBM transient, in-kernel Barrett; uint16 limbs over the wire.  The
+    natural-layout variant (default) reads coeffs as stored — no packed
+    relayout at all."""
+    from ..ops.collapse_pallas import use_natural_kernel
+    return _collapse_kernel_fn_mode(spec, use_natural_kernel())
+
+
+@functools.lru_cache(maxsize=None)
+def _collapse_kernel_fn_mode(spec: FieldSpec, natural: bool):
+    from ..ops.collapse_pallas import (collapse_tensors,
+                                       collapse_tensors_natural)
+    if natural:
+        return jax.jit(lambda c, t: collapse_tensors_natural(
+            c, t, spec).astype(jnp.uint16))
     return jax.jit(lambda c, t: collapse_tensors(c, t, spec).astype(
         jnp.uint16))
 
@@ -558,13 +638,21 @@ def _kernel_collapse_cached(comm: "LcCommit", tensors: list[list[int]],
     the packed operand layout across calls: the (rows, npr, Lp) ->
     npr-minor relayout was ~0.8 s of the measured 0.84 s one-shot
     Brakedown 2^25 collapse, and every prove against the same commitment
-    repeats it — cache it on the LcCommit.  Returns [(ints, limbs)...]."""
+    repeats it — cache it on the LcCommit.  With the natural-layout kernel
+    (default) there is no packed operand at all: the kernel reads coeffs
+    as stored and the first proof costs the same as every later one.
+    Returns [(ints, limbs)...]."""
+    from ..ops.collapse_pallas import use_natural_kernel
     lf = limb_field(spec)
+    t = jnp.stack([lf.array(tv) for tv in tensors])
+    if use_natural_kernel():
+        out = np.asarray(_collapse_kernel_fn(spec)(comm.coeffs, t),
+                         dtype=np.uint32)
+        return [(limbs_to_ints(out[i]), out[i]) for i in range(len(tensors))]
     packed = getattr(comm, "_collapse_packed", None)
     if packed is None:
         packed = _collapse_pack_fn(spec)(comm.coeffs)
         comm._collapse_packed = packed
-    t = jnp.stack([lf.array(tv) for tv in tensors])
     out = np.asarray(_collapse_packed_fn(spec)(comm.coeffs, t, packed),
                      dtype=np.uint32)
     return [(limbs_to_ints(out[i]), out[i]) for i in range(len(tensors))]
@@ -770,7 +858,9 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
                                                    spec)
         with _phase("transcript", "prove"):
             _append_coeffs(tr, LABEL_PR, p_random, spec, limbs=pr_limbs)
-        p_random_vec.append(p_random)
+        p_random_vec.append(_LimbRow(
+            p_random, None if pr_limbs is None
+            else np.asarray(pr_limbs, np.uint32)))
 
     if p_eval is None:
         with _phase("collapse", "prove"):
@@ -787,6 +877,7 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     # the device-resident arrays in ONE fused call (uint16 columns: limbs
     # are 16-bit, half the device->host transfer).
     paths = None
+    paths_packed = None
     if streamed:
         with _phase("open", "prove"):
             from .streamed import open_columns_streamed
@@ -813,6 +904,8 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
             sibs_np = np.asarray(sibs)
         with _phase("paths", "prove"):
             paths = _paths_from_sibs(sibs_np, len(cols_to_open), depth)
+            paths_packed = _packed_from_sibs(sibs_np, len(cols_to_open),
+                                             depth)
     else:
         gather = _enc_jit(enc, "prove_gather", lambda: (
             lambda c, idx: jnp.take(c, idx, axis=1).astype(jnp.uint16)))
@@ -836,9 +929,14 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
             for i in range(len(cols_to_open))
         ]
 
-    proof = LcEvalProof(n_cols=comm.n_cols, p_eval=p_eval,
-                        p_random_vec=p_random_vec, columns=columns)
+    proof = LcEvalProof(
+        n_cols=comm.n_cols,
+        p_eval=_LimbRow(p_eval, None if pe_limbs is None
+                        else np.asarray(pe_limbs, np.uint32)),
+        p_random_vec=p_random_vec, columns=columns)
     proof._cols_packed = packed
+    if paths_packed is not None:
+        proof._paths_packed = paths_packed    # verify's fold fast path
     return proof
 
 
@@ -902,9 +1000,11 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         raise VerifierError("EncodingDims")
 
     # limb forms of the proof rows, converted once: used for the transcript
-    # appends (vectorized repr bytes) AND the re-encode row matrix below
+    # appends (vectorized repr bytes) AND the re-encode row matrix below.
+    # prove()/serde ship rows as limb-backed _LimbRow lists so the verifier
+    # skips the per-int conversion (~83 ms of the r4 Brakedown 2^25 verify)
     with _phase("limbs", "verify"):
-        row_limbs = [ints_to_limbs(v, spec)
+        row_limbs = [_row_limbs_of(v, spec)
                      for v in proof.p_random_vec + [proof.p_eval]]
 
     with _phase("transcript", "verify"):
@@ -1006,8 +1106,9 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
                                          [c.path for c in proof.columns], d)
         else:
             leaf_bytes = digests_to_bytes(np.asarray(leaves))
-            folded = _fold_paths_batch(leaf_bytes, cols_to_open,
-                                       [c.path for c in proof.columns])
+            folded = _fold_paths_batch(
+                leaf_bytes, cols_to_open, [c.path for c in proof.columns],
+                sibs_packed=getattr(proof, "_paths_packed", None))
     for k, (col_num, column) in enumerate(zip(cols_to_open, proof.columns)):
         rand_ok = all(rand_ok_arr[i][k] for i in range(n_degree))
         eval_ok = bool(eval_ok_arr[k])
@@ -1019,8 +1120,10 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         if not path_ok:
             raise VerifierError("ColumnPath", f"column {col_num}")
 
-    # result = <inner_tensor, p_eval>
-    acc = 0
-    for t, e in zip(inner_tensor, proof.p_eval):
-        acc = (acc + t * e) % spec.modulus
-    return acc
+    # result = <inner_tensor, p_eval>.  Sum raw products, one mod at the
+    # end: the partial sum of n 2w-bit products stays ~(2w + log2 n) bits,
+    # and dropping the per-step reduction halves this leg (50 ms vs 120 ms
+    # for the 235k-coefficient Brakedown 2^25 eval row)
+    with _phase("eval", "verify"):
+        return sum(t * e for t, e in zip(inner_tensor, proof.p_eval)) \
+            % spec.modulus

@@ -47,6 +47,8 @@ def native():
                                     ctypes.c_size_t, u8p]
     lib.pos_blake3_columns.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                        ctypes.c_size_t, u8p]
+    lib.pos_fold_paths.argtypes = [u8p, u8p, ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.c_int64, ctypes.c_int64, u8p]
     lib.pos_chacha_blocks.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_uint64, ctypes.c_size_t,
                                       ctypes.c_int, u8p]
@@ -379,6 +381,28 @@ def blake3_many_native(msgs) -> "np.ndarray | None":
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.pos_blake3_many(msgs.ctypes.data_as(ctypes.c_char_p), n, msg_len,
                         out.ctypes.data_as(u8p))
+    return out
+
+
+def fold_paths_native(leaves, sibs, cols) -> "np.ndarray | None":
+    """Merkle path folds leaf->root entirely in C (pos_fold_paths).
+
+    leaves: (k, 32) uint8; sibs: (k, depth, 32) uint8; cols: (k,) int64.
+    Returns (k, 32) uint8 roots, or None without the native lib."""
+    lib = native()
+    if lib is None:
+        return None
+    import numpy as np
+    leaves = np.ascontiguousarray(leaves, dtype=np.uint8)
+    sibs = np.ascontiguousarray(sibs, dtype=np.uint8)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    k, depth = sibs.shape[0], sibs.shape[1]
+    out = np.empty((k, 32), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pos_fold_paths(leaves.ctypes.data_as(u8p),
+                       sibs.ctypes.data_as(u8p),
+                       cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                       k, depth, out.ctypes.data_as(u8p))
     return out
 
 

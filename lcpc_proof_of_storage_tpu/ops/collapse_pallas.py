@@ -60,6 +60,16 @@ def use_collapse_kernel(spec: FieldSpec) -> bool:
     return backend not in ("cpu",)
 
 
+def use_natural_kernel() -> bool:
+    """Natural-layout collapse kernel (round 5, default): reads the
+    commitment's (rows, npr, L) coefficient matrix AS STORED — the
+    (rows, Lp, npr) minor-axis relayout the packed kernel needs cost
+    ~0.8 s on the FIRST proof of a Brakedown 2^25 commitment (r4
+    VERDICT #1a); the in-kernel batched (8, TM, L) -> (8, L, TM)
+    transpose replaces it at VMEM speed."""
+    return os.environ.get("LCPC_COLLAPSE_NATURAL", "1") != "0"
+
+
 def _collapse_kernel(spec: FieldSpec, Rg: int, rg: int):
     """Grid cell: one (TM-lane) tile of n_per_row for one tensor t.
 
@@ -179,6 +189,118 @@ def pack_coeffs(coeffs: jnp.ndarray, spec: FieldSpec) -> list:
     """Per-chunk kernel operands for the whole matrix (cacheable)."""
     return [pack_coeffs_chunk(coeffs[r0 : r0 + _MAX_ROWS], spec)
             for r0 in range(0, coeffs.shape[0], _MAX_ROWS)]
+
+
+def _natural_kernel(spec: FieldSpec, in_dtype):
+    """Grid cell: one npr lane tile for one (chunk, tensor) pair, reading
+    the NATURAL (rows, npr, L) coefficient layout.
+
+    ng_ref: (1,) SMEM — number of 8-row groups with live rows this chunk.
+    tv_ref: (1, 1, CB8, L) SMEM — tensor limbs as scalars (zero-padded).
+    xg_ref: (CB8, TM, L) VMEM — coefficient rows for this tile, as stored.
+    out_ref: (1, 1, L, TM) — canonical limbs of sum_i t[i]*C[i, tile].
+
+    Rows past the live count are never read (ng bound) or multiply a zero
+    tensor scalar; npr lanes past the true width accumulate garbage that
+    the caller slices off.  Accumulator bound: <= 2048 rows per chunk
+    (same K*2L*2^16 < 2^32 digit bound as the packed kernel)."""
+    L = spec.num_limbs16
+    A = 2 * L + 2
+
+    def kernel(ng_ref, tv_ref, xg_ref, out_ref):
+        TM = xg_ref.shape[1]
+
+        def body(g, acc):
+            x8 = xg_ref[pl.ds(g * 8, 8)]             # (8, TM, L) as stored
+            if x8.dtype != jnp.uint32:
+                x8 = x8.astype(jnp.uint32)
+            xt = jnp.transpose(x8, (0, 2, 1))        # (8, L, TM) in VMEM
+            for r in range(8):
+                v = xt[r]                            # (L, TM) limb rows
+                for i in range(L):
+                    ti = tv_ref[0, 0, g * 8 + r, i]  # scalar < 2^16
+                    prod = ti * v                    # (L, TM) exact
+                    lo = prod & MASK16
+                    hi = prod >> 16
+                    parts = []
+                    if i:
+                        parts.append(jnp.zeros((i, TM), U32))
+                    parts.append(lo)
+                    if A - i - L:
+                        parts.append(jnp.zeros((A - i - L, TM), U32))
+                    acc = acc + jnp.concatenate(parts, axis=0)
+                    parts = [jnp.zeros((i + 1, TM), U32), hi]
+                    if A - i - 1 - L:
+                        parts.append(jnp.zeros((A - i - 1 - L, TM), U32))
+                    acc = acc + jnp.concatenate(parts, axis=0)
+            return acc
+
+        acc = jax.lax.fori_loop(0, ng_ref[0], body,
+                                jnp.zeros((A, TM), U32))
+        out_ref[0, 0] = _barrett_rows(acc, spec)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _natural_call(spec: FieldSpec, C: int, CB8: int, T: int, npr_pad: int,
+                  TM: int, in_dtype):
+    L = spec.num_limbs16
+    kernel = _natural_kernel(spec, in_dtype)
+    # grid (chunk, tile, t): t innermost so the coeff block (a function of
+    # (c, j) only) is revisited, not refetched, across the T tensors
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, T, L, npr_pad), jnp.uint32),
+        grid=(C, npr_pad // TM, T),
+        in_specs=[
+            pl.BlockSpec((1,), lambda c, j, t: (c,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CB8, L), lambda c, j, t: (t, c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CB8, TM, L), lambda c, j, t: (c, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, L, TM), lambda c, j, t: (c, t, 0, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+    )
+
+
+#: lane-tile width for the natural-layout kernel (unpacked operand is 2x
+#: the packed bytes, so half the packed kernel's _TM keeps VMEM equal)
+_TM_NAT = int(os.environ.get("LCPC_COLLAPSE_TM_NAT", "256"))
+
+
+def collapse_tensors_natural(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
+                             spec: FieldSpec) -> jnp.ndarray:
+    """collapse_tensors reading the natural (rows, npr, L) layout — no
+    packed relayout, no operand cache, uint16 matrices stay uint16 on the
+    wire into VMEM.  Jittable; >2048-row matrices become chunk partials
+    summed mod p at the XLA level."""
+    lf = limb_field(spec)
+    L = spec.num_limbs16
+    rows, npr, _ = coeffs.shape
+    T = t_limbs.shape[0]
+    CB8 = -(-min(rows, _MAX_ROWS) // 8) * 8
+    C = -(-rows // CB8)
+    TM = min(_TM_NAT, 1 << max(7, (npr - 1).bit_length()))
+    npr_pad = -(-npr // TM) * TM
+
+    # per-chunk live 8-row group counts + zero-padded tensor scalars
+    ng_list = [max(0, -(-(min(rows - c * CB8, CB8)) // 8)) for c in range(C)]
+    ng = jnp.asarray(ng_list, jnp.int32)
+    tv = jnp.pad(t_limbs.astype(U32), ((0, 0), (0, C * CB8 - rows), (0, 0)))
+    tv = tv.reshape(T, C, CB8, L)
+
+    out = _natural_call(spec, C, CB8, T, npr_pad, TM,
+                        jnp.dtype(coeffs.dtype).name)(ng, tv, coeffs)
+    # chunk partials sum mod p on the trailing-limb layout
+    acc = jnp.transpose(out[0], (0, 2, 1))[:, :npr, :]   # (T, npr, L)
+    for c in range(1, C):
+        acc = lf.add(acc, jnp.transpose(out[c], (0, 2, 1))[:, :npr, :])
+    return acc
 
 
 def collapse_tensors(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,

@@ -63,6 +63,40 @@ def read_field_vec(buf: io.BytesIO, spec: FieldSpec) -> list[int]:
     return [read_field(buf, spec) for _ in range(n)]
 
 
+def _read_field_vec_limbs(buf: io.BytesIO, spec: FieldSpec):
+    """read_field_vec that ALSO yields the (n, L) uint32 limb array when the
+    wire bytes are the 16-bit limb buffer (every shipped field): the bytes
+    parse vectorized and verify() reuses the limbs instead of re-converting
+    ~470k python ints per Brakedown 2^25 proof.  -> (ints, limbs | None)."""
+    n = read_u64(buf)
+    if not _limb_wire_width_ok(spec):
+        return [read_field(buf, spec) for _ in range(n)], None
+    import numpy as np
+    from ..fields.field import limbs_to_ints
+    W8 = 8 * spec.u64_limbs
+    raw = buf.read(n * W8)
+    if len(raw) != n * W8:
+        raise ValueError("truncated field vector")
+    le = np.frombuffer(raw, "<u2").reshape(n, spec.num_limbs16)
+    _check_canonical_rows(le, spec)
+    limbs = le.astype(np.uint32)
+    return limbs_to_ints(limbs), limbs
+
+
+def _write_field_vec_limbs(buf: io.BytesIO, vals: list[int], spec: FieldSpec,
+                           limbs=None) -> None:
+    """write_field_vec from an attached limb array when available (one
+    numpy astype+tobytes instead of per-value int.to_bytes)."""
+    import numpy as np
+    if (limbs is not None and _limb_wire_width_ok(spec)
+            and limbs.shape == (len(vals), spec.num_limbs16)):
+        write_u64(buf, len(vals))
+        buf.write(np.ascontiguousarray(
+            np.asarray(limbs, np.uint32).astype("<u2")).tobytes())
+    else:
+        write_field_vec(buf, vals, spec)
+
+
 # -- proof objects ----------------------------------------------------------
 
 def serialize_root(root: bytes) -> bytes:
@@ -161,11 +195,15 @@ def deserialize_column(data: bytes, spec: FieldSpec):
 def serialize_proof(proof, spec: FieldSpec) -> bytes:
     """WrappedLcEvalProof layout: n_cols, p_eval, p_random_vec, columns."""
     buf = io.BytesIO()
+    # prove()/serde ship rows as limb-backed _LimbRow lists — the wire
+    # bytes then come straight out of numpy
     write_u64(buf, proof.n_cols)
-    write_field_vec(buf, proof.p_eval, spec)
+    _write_field_vec_limbs(buf, proof.p_eval, spec,
+                           limbs=getattr(proof.p_eval, "_limbs", None))
     write_u64(buf, len(proof.p_random_vec))
     for v in proof.p_random_vec:
-        write_field_vec(buf, v, spec)
+        _write_field_vec_limbs(buf, v, spec,
+                               limbs=getattr(v, "_limbs", None))
     write_u64(buf, len(proof.columns))
     for c in proof.columns:
         _write_column(buf, c, spec)
@@ -173,12 +211,16 @@ def serialize_proof(proof, spec: FieldSpec) -> bytes:
 
 
 def deserialize_proof(data: bytes, spec: FieldSpec):
-    from ..core.commit import LcEvalProof
+    from ..core.commit import LcEvalProof, _LimbRow
     buf = io.BytesIO(data)
     n_cols = read_u64(buf)
-    p_eval = read_field_vec(buf, spec)
+    p_eval = _LimbRow(*_read_field_vec_limbs(buf, spec))
     ndt = read_u64(buf)
-    p_random_vec = [read_field_vec(buf, spec) for _ in range(ndt)]
+    if ndt * 8 > len(data) - buf.tell():
+        raise ValueError("proof declares more degree-test rows than the "
+                         "buffer can hold")
+    p_random_vec = [_LimbRow(*_read_field_vec_limbs(buf, spec))
+                    for _ in range(ndt)]
     ncols_open = read_u64(buf)
     # every serialized column costs at least two u64 length prefixes, so an
     # untrusted count beyond that is rejected before any loop/allocation
@@ -214,6 +256,14 @@ def deserialize_proof(data: bytes, spec: FieldSpec):
             c._limbs is not None and c._limbs.base is packed
             for c in columns):
         proof._cols_packed = packed       # verify()'s staging fast path
+    if columns:
+        depth = len(columns[0].path)
+        if (depth and all(len(c.path) == depth for c in columns)
+                and all(len(p) == 32 for c in columns for p in c.path)):
+            import numpy as np
+            proof._paths_packed = np.frombuffer(
+                b"".join(p for c in columns for p in c.path),
+                np.uint8).reshape(len(columns), depth, 32)
     return proof
 
 

@@ -26,8 +26,10 @@ def interpret_pallas(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", interp)
     import lcpc_proof_of_storage_tpu.ops.collapse_pallas as cp
     cp._collapse_call.cache_clear()
+    cp._natural_call.cache_clear()
     yield
     cp._collapse_call.cache_clear()
+    cp._natural_call.cache_clear()
 
 
 def _oracle(coeffs, t_limbs, spec):
@@ -83,12 +85,16 @@ def test_prove_via_collapse_kernel_bit_identical(interpret_pallas,
 
     baseline = serialize_proof(C.prove(comm, outer, enc, tr()), spec)
     monkeypatch.setattr(C, "_use_collapse_kernel", lambda s: True)
-    C._collapse_kernel_fn.cache_clear()
+    C._collapse_kernel_fn_mode.cache_clear()
     try:
         via_kernel = serialize_proof(C.prove(comm, outer, enc, tr()), spec)
+        # and again through the packed (non-natural) kernel path
+        monkeypatch.setenv("LCPC_COLLAPSE_NATURAL", "0")
+        via_packed = serialize_proof(C.prove(comm, outer, enc, tr()), spec)
     finally:
-        C._collapse_kernel_fn.cache_clear()
+        C._collapse_kernel_fn_mode.cache_clear()
     assert via_kernel == baseline
+    assert via_packed == baseline
 
 
 def test_collapse_kernel_uint16_and_chunking(interpret_pallas, monkeypatch):
@@ -106,6 +112,48 @@ def test_collapse_kernel_uint16_and_chunking(interpret_pallas, monkeypatch):
         np.asarray(lf.array([rnd.randrange(spec.modulus)
                              for _ in range(rows)])) for _ in range(T)])
     got = np.asarray(cp.collapse_tensors(
+        jnp.asarray(coeffs.astype(np.uint16)), jnp.asarray(t_limbs), spec))
+    ref = _oracle(coeffs, t_limbs, spec)
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("rows,npr,T", [(5, 96, 1), (16, 200, 2), (3, 130, 3),
+                                        (142, 129, 2)])
+def test_natural_kernel_matches_oracle(interpret_pallas, rows, npr, T):
+    """Natural-layout kernel (round 5): bit-identical to the XLA oracle,
+    including OOB row-group padding (rows not a multiple of 8)."""
+    from lcpc_proof_of_storage_tpu.ops.collapse_pallas import (
+        collapse_tensors_natural)
+    spec = FT63
+    lf = limb_field(spec)
+    rnd = random.Random(rows * 991 + npr + T)
+    coeffs = np.stack([
+        np.asarray(lf.array([rnd.randrange(spec.modulus)
+                             for _ in range(npr)])) for _ in range(rows)])
+    t_limbs = np.stack([
+        np.asarray(lf.array([rnd.randrange(spec.modulus)
+                             for _ in range(rows)])) for _ in range(T)])
+    got = np.asarray(collapse_tensors_natural(
+        jnp.asarray(coeffs), jnp.asarray(t_limbs), spec))
+    ref = _oracle(coeffs, t_limbs, spec)
+    assert np.array_equal(got, ref)
+
+
+def test_natural_kernel_uint16_and_chunking(interpret_pallas, monkeypatch):
+    """uint16 input + chunk partial summation (>_MAX_ROWS rows)."""
+    import lcpc_proof_of_storage_tpu.ops.collapse_pallas as cp
+    monkeypatch.setattr(cp, "_MAX_ROWS", 16)     # force the chunked path
+    spec = FT63
+    lf = limb_field(spec)
+    rnd = random.Random(77)
+    rows, npr, T = 43, 140, 2                     # 3 chunks, ragged tail
+    coeffs = np.stack([
+        np.asarray(lf.array([rnd.randrange(spec.modulus)
+                             for _ in range(npr)])) for _ in range(rows)])
+    t_limbs = np.stack([
+        np.asarray(lf.array([rnd.randrange(spec.modulus)
+                             for _ in range(rows)])) for _ in range(T)])
+    got = np.asarray(cp.collapse_tensors_natural(
         jnp.asarray(coeffs.astype(np.uint16)), jnp.asarray(t_limbs), spec))
     ref = _oracle(coeffs, t_limbs, spec)
     assert np.array_equal(got, ref)
