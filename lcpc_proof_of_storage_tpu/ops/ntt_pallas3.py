@@ -449,12 +449,37 @@ def v3_device_tables(spec: FieldSpec, n: int,
 # kernels
 # ---------------------------------------------------------------------------
 
+#: largest nz whose in-kernel bitrev unrolls statically (concatenate of nz
+#: row slices).  Beyond it the shuffle is emitted as a compact fori_loop +
+#: dynamic slices over an SMEM rev table — constant MLIR size, so the axon
+#: remote-compile payload stays small (the unrolled form tripped HTTP 413
+#: at nz = 64, r4 VERDICT #2)
+_NZ_UNROLL = int(os.environ.get("LCPC_PALLAS3_NZ_UNROLL", "32"))
+
+
 def _kernel_a(spec: FieldSpec, halves: tuple, nz: int = 0, skip: int = 0):
     """nz > 0: the block carries only the nz nonzero j2 rows; the bitrev
     permutation + 2^skip duplication (the former jnp.take HBM pass) runs
     IN VMEM — the kernel reads 1/2^skip of the data the full block would."""
-    if nz:
+    loop_rev = nz > _NZ_UNROLL
+    if nz and not loop_rev:
         rev_m = tuple(int(v) for v in _bit_reverse_perm(nz))
+
+    def body(x, w_ref, lo_ref, tw_ref, out_ref):
+        x = jnp.transpose(x, (0, 2, 1))               # (L, TL, n2)
+        if halves:
+            x = _dit_stages3(x, w_ref, lo_ref, spec, halves)
+        x = _gmul(x, tw_ref[:], spec)                 # diag w_n^{j1*k2}
+        out_ref[0] = jnp.transpose(x, (0, 2, 1))
+
+    def _dup(x):
+        if skip:
+            # out[t2] = perm[t2 >> skip]: consecutive duplication
+            L_, _, TL_ = x.shape
+            x = jnp.broadcast_to(x[:, :, None, :],
+                                 (L_, nz, 1 << skip, TL_)).reshape(
+                                     L_, nz << skip, TL_)
+        return x
 
     def kernel(x_ref, w_ref, lo_ref, tw_ref, out_ref):
         x = x_ref[0]                                  # (L, n2|nz, TL)
@@ -462,19 +487,23 @@ def _kernel_a(spec: FieldSpec, halves: tuple, nz: int = 0, skip: int = 0):
             if nz > 1:
                 x = jnp.concatenate([x[:, r : r + 1, :] for r in rev_m],
                                     axis=1)           # static bitrev rows
-            if skip:
-                # out[t2] = perm[t2 >> skip]: consecutive duplication
-                L_, _, TL_ = x.shape
-                x = jnp.broadcast_to(x[:, :, None, :],
-                                     (L_, nz, 1 << skip, TL_)).reshape(
-                                         L_, nz << skip, TL_)
-        x = jnp.transpose(x, (0, 2, 1))               # (L, TL, n2)
-        if halves:
-            x = _dit_stages3(x, w_ref, lo_ref, spec, halves)
-        x = _gmul(x, tw_ref[:], spec)                 # diag w_n^{j1*k2}
-        out_ref[0] = jnp.transpose(x, (0, 2, 1))
+            x = _dup(x)
+        body(x, w_ref, lo_ref, tw_ref, out_ref)
 
-    return kernel
+    def kernel_loop(rev_ref, x_ref, w_ref, lo_ref, tw_ref, out_ref):
+        x0 = x_ref[0]
+        L_, _, TL_ = x0.shape
+
+        def shuffle(i, acc):
+            r = rev_ref[i]
+            row = jax.lax.dynamic_slice(x0, (0, r, 0), (L_, 1, TL_))
+            return jax.lax.dynamic_update_slice(acc, row, (0, i, 0))
+
+        x = jax.lax.fori_loop(0, nz, shuffle,
+                              jnp.zeros((L_, nz, TL_), U32))
+        body(_dup(x), w_ref, lo_ref, tw_ref, out_ref)
+
+    return kernel_loop if loop_rev else kernel
 
 
 def _kernel_b(spec: FieldSpec, halves_desc: tuple):
@@ -494,20 +523,25 @@ def _call_a(spec: FieldSpec, n1: int, n2: int, batch: int, halves: tuple,
     in_rows = nz if nz else n2
     # grid (j, b): b innermost so the per-tile diag/table blocks are fetched
     # once per j, not once per (j, b)
+    in_specs = [
+        pl.BlockSpec((1, L, in_rows, TL), lambda j, b: (b, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((w_rows, n2), lambda j, b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((max(nf, 1), n2), lambda j, b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, TL, n2), lambda j, b: (0, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if nz > _NZ_UNROLL:
+        # compact-loop bitrev variant: SMEM rev table rides first
+        in_specs.insert(0, pl.BlockSpec((nz,), lambda j, b: (0,),
+                                        memory_space=pltpu.SMEM))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((batch, L, n2, n1), jnp.uint32),
         grid=(nt, batch),
-        in_specs=[
-            pl.BlockSpec((1, L, in_rows, TL), lambda j, b: (b, 0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_rows, n2), lambda j, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(nf, 1), n2), lambda j, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, TL, n2), lambda j, b: (0, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, L, n2, TL), lambda j, b: (b, 0, 0, j),
                                memory_space=pltpu.VMEM),
         compiler_params=_vmem_params(),
@@ -567,16 +601,22 @@ def ntt_pallas3(x: jnp.ndarray, spec: FieldSpec,
     nz_rows = n2 >> t["skip"]
     xs = x[:, : nz_rows * n1, :]
     xm = jnp.transpose(xs, (0, 2, 1)).reshape(batch, L, nz_rows, n1)
-    # in-kernel take gate: the unrolled row shuffle grows the Mosaic MLIR;
-    # the axon remote-compile endpoint rejects the payload (HTTP 413) at
-    # nz_rows = 64 (n = 2^18) — measured working and faster at nz <= 32
-    # (2^20 headline n_cols = 2^15..2^17); larger n keeps the XLA take
-    if (nz_rows <= int(os.environ.get("LCPC_PALLAS3_INKERNEL_NZMAX", "32"))
+    # in-kernel take gate: nz <= _NZ_UNROLL emits the bitrev row shuffle as
+    # a static concatenate (measured fastest); larger nz uses the compact
+    # fori_loop + SMEM rev-table form whose MLIR size is constant (the
+    # unrolled form tripped the axon remote-compile HTTP 413 at nz = 64 —
+    # r4 VERDICT #2, now unlocked for the 2^27+ n_cols >= 2^18 shapes)
+    if (nz_rows <= int(os.environ.get("LCPC_PALLAS3_INKERNEL_NZMAX", "256"))
             and os.environ.get("LCPC_PALLAS3_INKERNEL_TAKE", "1") != "0"):
         # bitrev + duplication runs inside kernel A (VMEM row shuffle) —
         # removes the take's HBM round trip and shrinks A's read
-        xm = _call_a(spec, n1, n2, batch, t["halves_a"], t["w_a"].shape[0],
-                     t["nf_a"], nz_rows, t["skip"])(xm, w_a, lo_a, tw)
+        call = _call_a(spec, n1, n2, batch, t["halves_a"], t["w_a"].shape[0],
+                       t["nf_a"], nz_rows, t["skip"])
+        if nz_rows > _NZ_UNROLL:
+            rev_nz = jnp.asarray(_bit_reverse_perm(nz_rows).astype(np.int32))
+            xm = call(rev_nz, xm, w_a, lo_a, tw)
+        else:
+            xm = call(xm, w_a, lo_a, tw)
     else:
         xm = jnp.take(xm, rev_in, axis=2)        # bitrev + dup j2 rows
         xm = _call_a(spec, n1, n2, batch, t["halves_a"], t["w_a"].shape[0],

@@ -78,6 +78,24 @@ def test_v3_device_tables_threading(interpret_pallas):
     assert np.array_equal(got, ref)
 
 
+def test_v3_loop_bitrev_matches_oracle(interpret_pallas, monkeypatch):
+    """Compact fori_loop bitrev (nz > _NZ_UNROLL, the 2^27+ unlock) is
+    bit-identical to the static-unroll form and the oracle."""
+    import lcpc_proof_of_storage_tpu.ops.ntt_pallas3 as n3
+    spec = FT63
+    n, b = 1 << 15, 1
+    nnz = n // 4                         # nz_rows = 32 at this shape
+    x = _rand_mat(spec, b, n, 11, n_nonzero=nnz)
+    ref = np.asarray(ntt_pallas3(x, spec, n_nonzero=nnz))
+    monkeypatch.setattr(n3, "_NZ_UNROLL", 8)   # force the loop variant
+    n3._call_a.cache_clear()
+    got = np.asarray(ntt_pallas3(x, spec, n_nonzero=nnz))
+    n3._call_a.cache_clear()
+    assert np.array_equal(got, ref)
+    assert np.array_equal(
+        ref, np.asarray(jax.jit(lambda a: ntt(a, spec))(x)))
+
+
 def test_v3_split_bounds():
     assert _split3(1 << 14) is None
     for lg in range(15, 19):
