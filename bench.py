@@ -73,9 +73,21 @@ def run_bench(log2n: int | None = None, field_name: str | None = None,
     streamed = log2n >= int(os.environ.get("LCPC_BENCH_STREAM_LOG2", "25"))
     host_coeffs = (log2n >= int(os.environ.get("LCPC_BENCH_HOST_COEFF_LOG2",
                                                "27")))
+    # LCPC_BENCH_SYNTH=1: synthetic device-generated coefficients — the
+    # compute envelope at sizes where the 17 GB host upload IS the wall
+    # (2^29; r4 VERDICT #3).  Clearly labeled in the metric name; the
+    # honest host-upload row stays the default.
+    synthetic = os.environ.get("LCPC_BENCH_SYNTH") == "1" and streamed
     if streamed:
-        from lcpc_proof_of_storage_tpu.core.streamed import commit_streamed
-        if host_coeffs:
+        from lcpc_proof_of_storage_tpu.core.streamed import (
+            SyntheticCoeffs, commit_streamed)
+        if synthetic:
+            src = SyntheticCoeffs(n, seed=0)
+
+            def run():
+                c = commit_streamed(src, enc, keep_comm=False)
+                return c.get_root().root[0]
+        elif host_coeffs:
             coeff_flat = coeff.reshape(n_rows * n_per_row, L)
 
             def run():
@@ -122,7 +134,8 @@ def run_bench(log2n: int | None = None, field_name: str | None = None,
     baseline = 3.25e6
     print(f"# commit times: {[round(t, 3) for t in times]}", file=sys.stderr)
     return {
-        "metric": f"ligero_commit_elems_per_sec_{spec.name}_2e{log2n}",
+        "metric": (f"ligero_commit_elems_per_sec_{spec.name}_2e{log2n}"
+                   + ("_synthetic_device_coeffs" if synthetic else "")),
         "value": round(elems_per_s, 1),
         "unit": "field-elems/s/chip",
         "vs_baseline": round(elems_per_s / baseline, 3),

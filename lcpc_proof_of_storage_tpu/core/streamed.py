@@ -55,6 +55,75 @@ def _row_batches(n_rows: int, repr_bytes: int, target_rows: int) -> list[tuple[i
     return list(zip(bounds[:-1], bounds[1:]))
 
 
+class SyntheticCoeffs:
+    """BENCH-ONLY coefficient source: each row batch is generated ON DEVICE
+    from (seed, chunk counter) inside the batch program — no coefficient
+    matrix exists on host or device, so the commit measures the pure
+    compute envelope at sizes where even uint16 coefficients exceed HBM
+    and the host upload is the tunnel wall (Ligero 2^29 = 17 GB, r4
+    VERDICT missing #1).  Values are uniform 16-bit limbs with the top
+    limb masked below p's leading limb (same construction as bench.py's
+    host generator) — valid canonical field elements, but NOT the same
+    data a host-seeded run would produce; roots are reproducible per
+    (seed, shape) only.  The returned commit carries coeffs=None and
+    serves the root alone."""
+
+    def __init__(self, length: int, seed: int = 0):
+        self.length = length
+        self.seed = seed
+
+
+def _device_put_watchdog(arr: np.ndarray):
+    """Upload a host row-batch in bounded chunks, each under a watchdog:
+    a stalled tunnel RPC times out and is retried once with a fresh
+    buffer instead of hanging forever (r4 lost three 90-minute campaign
+    slots to single stalled RPCs inside a 17 GB upload).  Each chunk is
+    forced to completion with a 1-element readback (block_until_ready is
+    async on axon).  Returns the device array (concatenated on device).
+
+    LCPC_UPLOAD_CHUNK_BYTES (default 256 MB) bounds the per-RPC exposure;
+    LCPC_UPLOAD_TIMEOUT_S (default chunk/3 MB/s) the stall timeout;
+    LCPC_UPLOAD_WATCHDOG=0 disables (plain implicit transfer)."""
+    import os
+    import threading
+    chunk = float(os.environ.get("LCPC_UPLOAD_CHUNK_BYTES", str(256 << 20)))
+    row_bytes = max(arr.nbytes // max(arr.shape[0], 1), 1)
+    rows_per = max(1, int(chunk // row_bytes))
+    timeout = float(os.environ.get(
+        "LCPC_UPLOAD_TIMEOUT_S", str(max(60.0, rows_per * row_bytes / 3e6))))
+    parts = []
+    for s in range(0, arr.shape[0], rows_per):
+        piece = arr[s : s + rows_per]
+        for attempt in range(2):
+            result: dict = {}
+
+            def put():
+                try:
+                    d = jax.device_put(piece)
+                    _ = int(np.asarray(jax.device_get(
+                        d.reshape(-1)[0])))       # force the transfer
+                    result["d"] = d
+                except BaseException as e:        # noqa: BLE001
+                    result["e"] = e
+
+            th = threading.Thread(target=put, daemon=True)
+            th.start()
+            th.join(timeout)
+            if "d" in result:
+                parts.append(result["d"])
+                break
+            if "e" in result:
+                raise result["e"]
+            if attempt == 0:
+                print(f"# upload chunk rows[{s}:{s + len(piece)}] stalled "
+                      f"after {timeout:.0f}s; retrying once", flush=True)
+            else:
+                raise RuntimeError(
+                    f"host->device upload stalled twice at rows "
+                    f"[{s}:{s + len(piece)}] ({timeout:.0f}s timeout)")
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = None,
                     keep_comm: bool | str = True,
                     device_coeffs: bool = True) -> LcCommit:
@@ -81,7 +150,11 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
         "wide (mesh) encodings commit via parallel.wide.wide_commit_from_"
         "matrix — the cross-chip NTT cannot nest inside the streamed batch "
         "jit (its twiddles would bake into the HLO as literals)")
-    if not device_coeffs:
+    synthetic = isinstance(coeffs, SyntheticCoeffs)
+    if synthetic:
+        n_rows, n_per_row, n_cols = enc.get_dims(coeffs.length)
+        coeff_mat = None
+    elif not device_coeffs:
         if isinstance(coeffs, np.ndarray) and coeffs.ndim == 2:
             length = coeffs.shape[0]
             arr16 = coeffs.astype(np.uint16)
@@ -103,6 +176,7 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
     total_chunks = (msg_len + 1023) // 1024
     if total_chunks < 2:
         # single-chunk columns: nothing to stream (tiny matrix) — one-shot
+        assert not synthetic, "SyntheticCoeffs is for streamed sizes only"
         from .commit import commit
         c = commit(coeffs, enc)
         if keep_comm == "device":
@@ -122,10 +196,26 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
     ops = enc.device_operands()
 
     def make_batch_fn(rows_b: int, first: bool, k: int, tail_len: int,
-                      comm_mode: str):
+                      comm_mode: str, gen_seed: int | None = None):
         nwords_pad = k * 256 - ((32 if first else 0) + rows_b * W) // 4
+        L16 = spec.num_limbs16
+        if gen_seed is not None:
+            # SyntheticCoeffs: top limb masked below p's leading limb so
+            # every value is canonical (< p); batch identity folds in via
+            # the first chunk counter (traced — interior batches share one
+            # compilation)
+            top = (spec.modulus >> (16 * (L16 - 1))) - 1 if L16 > 1 \
+                else spec.modulus - 1
+            top = max(int(top), 1)
 
         def f(cm_rows, counters, operands):
+            if gen_seed is not None:
+                key = jax.random.fold_in(jax.random.PRNGKey(gen_seed),
+                                         counters[0])
+                cm_rows = jax.random.bits(
+                    key, (rows_b, n_per_row, L16), jnp.uint32) & 0xFFFF
+                cm_rows = cm_rows.at[..., L16 - 1].set(
+                    cm_rows[..., L16 - 1] & top)
             cm_rows = cm_rows.astype(jnp.uint32)    # host mode ships uint16
             padded = jnp.zeros((rows_b, n_cols, cm_rows.shape[-1]), jnp.uint32)
             padded = padded.at[:, :n_per_row, :].set(cm_rows)
@@ -184,24 +274,34 @@ def commit_streamed(coeffs, enc: LcEncoding, target_batch_rows: int | None = Non
         assert span % 1024 == 0 or last, "interior batch misaligned"
         # jit key excludes chunk0: interior batches share one compilation
         # (counters ride as a traced argument)
-        fn = _enc_jit(enc,
-                      f"streamed_batch_{rows_b}_{first}_{tail_len}_{comm_mode}",
-                      lambda: make_batch_fn(rows_b, first, k, tail_len,
-                                            comm_mode))
+        syn = f"_syn{coeffs.seed}" if synthetic else ""
+        fn = _enc_jit(
+            enc,
+            f"streamed_batch_{rows_b}_{first}_{tail_len}_{comm_mode}{syn}",
+            lambda: make_batch_fn(rows_b, first, k, tail_len, comm_mode,
+                                  gen_seed=coeffs.seed if synthetic else None))
         counters = jnp.arange(chunk0, chunk0 + k, dtype=jnp.uint32)
+        if synthetic:
+            batch_rows = jnp.zeros((1,), jnp.uint16)
+        elif (isinstance(coeff_mat, np.ndarray)
+              and _os.environ.get("LCPC_UPLOAD_WATCHDOG", "1") != "0"):
+            # host-coeff mode: explicit chunked upload w/ stall retry
+            batch_rows = _device_put_watchdog(coeff_mat[r_start:r_end])
+        else:
+            batch_rows = coeff_mat[r_start:r_end]
         if comm_mode == "host":
-            comm_b, cvs = fn(coeff_mat[r_start:r_end], counters, ops)
+            comm_b, cvs = fn(batch_rows, counters, ops)
             try:
                 comm_b.copy_to_host_async()
             except AttributeError:
                 pass
             pending.append(comm_b)
         elif comm_mode == "device":
-            comm_b, cvs = fn(coeff_mat[r_start:r_end], counters, ops)
+            comm_b, cvs = fn(batch_rows, counters, ops)
             comm_parts.append(comm_b)
             pending.append(cvs)
         else:
-            cvs = fn(coeff_mat[r_start:r_end], counters, ops)
+            cvs = fn(batch_rows, counters, ops)
             pending.append(cvs)
         while len(pending) > inflight:
             _drain_one()

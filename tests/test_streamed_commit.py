@@ -40,6 +40,26 @@ def test_streamed_root_matches(spec, n_rows, n_per_row, n_cols, batch):
     assert np.array_equal(np.asarray(one.comm), streamed.comm)
 
 
+def test_streamed_synthetic_coeffs_deterministic():
+    """SyntheticCoeffs (device-generated bench mode, r5): runs the full
+    streamed pipeline without any host coefficient matrix; same seed ->
+    same root, different seed -> different root; canonical values only."""
+    from lcpc_proof_of_storage_tpu.core.streamed import SyntheticCoeffs
+    spec = FT255
+    n_rows, n_per_row, n_cols = 64, 8, 32
+    length = n_rows * n_per_row
+    enc = LigeroEncoding(spec, n_per_row, n_cols)
+    c1 = commit_streamed(SyntheticCoeffs(length, seed=3), enc,
+                         target_batch_rows=32, keep_comm=False)
+    c2 = commit_streamed(SyntheticCoeffs(length, seed=3), enc,
+                         target_batch_rows=32, keep_comm=False)
+    c3 = commit_streamed(SyntheticCoeffs(length, seed=4), enc,
+                         target_batch_rows=32, keep_comm=False)
+    assert c1.coeffs is None and c1.comm is None
+    assert c1.get_root().root == c2.get_root().root
+    assert c1.get_root().root != c3.get_root().root
+
+
 def test_row_batches_alignment():
     for W in (8, 16, 24, 32):
         for n_rows in (1, 7, 64, 97, 215, 501):
