@@ -26,9 +26,10 @@ from ..fields.field import FieldSpec
 class HostDigest:
     """A 32-byte-output digest computed on the host."""
 
-    def __init__(self, name: str, fn):
+    def __init__(self, name: str, fn, many_fn=None):
         self.name = name
         self._fn = fn
+        self._many_fn = many_fn
 
     def hash(self, msg: bytes) -> bytes:
         out = self._fn(msg)
@@ -36,7 +37,14 @@ class HostDigest:
         return out
 
     def hash_many(self, msgs: np.ndarray) -> np.ndarray:
-        """(k, n) uint8 equal-length messages -> (k, 32) uint8 digests."""
+        """(k, n) uint8 equal-length messages -> (k, 32) uint8 digests.
+        Uses the digest's native batch path when available (one C call,
+        OpenMP across messages) — the python loop was the r4 bench-scale
+        blocker for non-Blake3 digests."""
+        if self._many_fn is not None:
+            out = self._many_fn(msgs)
+            if out is not None:
+                return out
         k = msgs.shape[0]
         out = np.empty((k, 32), np.uint8)
         for i in range(k):
@@ -49,9 +57,20 @@ def _blake3_host(msg: bytes) -> bytes:
     return blake3(msg)
 
 
+def _blake2b_many(msgs):
+    from ..native import blake2b_many_native
+    return blake2b_many_native(msgs)
+
+
+def _blake3_many(msgs):
+    from ..native import blake3_many_native
+    return blake3_many_native(msgs)
+
+
 BLAKE2B = HostDigest("blake2b",
-                     lambda m: hashlib.blake2b(m, digest_size=32).digest())
-BLAKE3_HOST = HostDigest("blake3", _blake3_host)
+                     lambda m: hashlib.blake2b(m, digest_size=32).digest(),
+                     many_fn=_blake2b_many)
+BLAKE3_HOST = HostDigest("blake3", _blake3_host, many_fn=_blake3_many)
 
 _DIGESTS = {"blake2b": BLAKE2B, "blake3": BLAKE3_HOST}
 

@@ -49,6 +49,9 @@ def native():
                                        ctypes.c_size_t, u8p]
     lib.pos_fold_paths.argtypes = [u8p, u8p, ctypes.POINTER(ctypes.c_int64),
                                    ctypes.c_int64, ctypes.c_int64, u8p]
+    lib.pos_blake2b_256.argtypes = [ctypes.c_char_p, ctypes.c_size_t, u8p]
+    lib.pos_blake2b_many.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                     ctypes.c_size_t, u8p]
     lib.pos_chacha_blocks.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_uint64, ctypes.c_size_t,
                                       ctypes.c_int, u8p]
@@ -381,6 +384,25 @@ def blake3_many_native(msgs) -> "np.ndarray | None":
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.pos_blake3_many(msgs.ctypes.data_as(ctypes.c_char_p), n, msg_len,
                         out.ctypes.data_as(u8p))
+    return out
+
+
+def blake2b_many_native(msgs) -> "np.ndarray | None":
+    """BLAKE2b-256 of n equal-length messages ((n, msg_len) uint8,
+    C-contiguous) in one call, OpenMP across messages.  Returns (n, 32)
+    uint8 digests, or None without the native lib.  Feeds the generic-
+    digest commit path (crypto/digest.py) at bench scale — the per-column
+    hashlib loop was unusable beyond toy sizes (r4 VERDICT missing #4)."""
+    lib = native()
+    if lib is None:
+        return None
+    import numpy as np
+    msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+    n, msg_len = msgs.shape
+    out = np.empty((n, 32), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pos_blake2b_many(msgs.ctypes.data_as(ctypes.c_char_p), n, msg_len,
+                         out.ctypes.data_as(u8p))
     return out
 
 

@@ -82,3 +82,38 @@ def test_blake2b_tamper_detected():
 def test_unknown_digest_rejected():
     with pytest.raises(ValueError):
         _setup("md5")
+
+
+def test_native_blake2b_matches_hashlib():
+    """pos_blake2b_many == hashlib.blake2b(digest_size=32) across block
+    boundary lengths (the r5 native batch path)."""
+    import hashlib
+
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.native import blake2b_many_native
+
+    for msg_len in (0, 1, 64, 127, 128, 129, 256, 1000):
+        k = 7
+        rng = np.random.default_rng(msg_len + 1)
+        msgs = rng.integers(0, 256, size=(k, msg_len), dtype=np.uint8)
+        got = blake2b_many_native(msgs)
+        if got is None:
+            import pytest
+            pytest.skip("native lib unavailable")
+        for i in range(k):
+            ref = hashlib.blake2b(msgs[i].tobytes(), digest_size=32).digest()
+            assert got[i].tobytes() == ref, msg_len
+
+
+def test_hash_many_native_batch_agrees_with_loop():
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.crypto.digest import get_digest
+
+    d = get_digest("blake2b")
+    rng = np.random.default_rng(3)
+    msgs = rng.integers(0, 256, size=(33, 96), dtype=np.uint8)
+    batch = d.hash_many(msgs)
+    for i in range(33):
+        assert batch[i].tobytes() == d.hash(msgs[i].tobytes())

@@ -92,7 +92,30 @@ def compute_vectors() -> dict:
     wide_hashes_sha = hashlib.sha256(
         np.ascontiguousarray(wide.hashes).tobytes()).hexdigest()
 
+    # r5 pins (VERDICT #9): blake2b generic-digest commit root, serde
+    # re-serialization stability through the packed-columns fast path, a
+    # wide-mesh PROOF (not just the Merkle array), and the synthetic
+    # device-generated coefficient root (seed determinism)
+    b2_comm = commit(coeffs, LigeroEncoding.new_from_dims(16, 64, spec),
+                     digest="blake2b")
+    reser = serde.serialize_proof(
+        serde.deserialize_proof(proof_blob, spec), spec)
+    wide_enc = LigeroEncoding.new_from_dims(16, 64, spec).with_mesh(
+        make_mesh(nd), "d")
+    wide_proof, _ = _prove_fixed(wide, wide_enc, wide.get_root().root)
+    wide_proof_blob = serde.serialize_proof(wide_proof, spec)
+    from lcpc_proof_of_storage_tpu.core.streamed import SyntheticCoeffs
+    # 256 rows x W=8 -> multi-chunk columns (the streamed regime)
+    syn = commit_streamed(SyntheticCoeffs(1024, seed=42),
+                          LigeroEncoding.new_from_dims(4, 16, spec),
+                          target_batch_rows=100, keep_comm=False)
+
     return {
+        "blake2b_ligero_ft63_root": b2_comm.get_root().root.hex(),
+        "serde_reserialize_sha": hashlib.sha256(reser).hexdigest(),
+        "wide_proof_sha": hashlib.sha256(wide_proof_blob).hexdigest(),
+        "wide_proof_len": len(wide_proof_blob),
+        "synthetic_seed42_root": syn.get_root().root.hex(),
         "brakedown_ft63_root": bd_comm.get_root().root.hex(),
         "ligero_ft63_root": root.hex(),
         "proof_sha": hashlib.sha256(proof_blob).hexdigest(),
