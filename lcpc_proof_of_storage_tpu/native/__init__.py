@@ -123,6 +123,15 @@ def native():
                                      ctypes.c_int64, u64p, ctypes.c_uint64,
                                      u64p, u64p]
     lib.pos_intt_rows_w4.restype = ctypes.c_int
+    lib.pos_ntt_rows_from_bytes_w4.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, u64p, ctypes.c_int64, u64p, ctypes.c_uint64, u64p,
+        ctypes.c_int]
+    lib.pos_ntt_rows_from_bytes_w4.restype = ctypes.c_int
+    lib.pos_scatter_hash_w4.argtypes = [u64p, ctypes.c_int64,
+                                        ctypes.c_int64, u8p,
+                                        ctypes.c_int64, ctypes.c_void_p,
+                                        ctypes.c_int]
     lib.pos_transpose_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
                                       u64p]
     lib.pos_scatter_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
@@ -357,6 +366,40 @@ def scatter_hash_u64(src, dst_base_addr: int, stride_elems: int,
     return True
 
 
+
+
+def ntt_rows_from_bytes_w4(data: bytes, cap: int, k: int, n_in: int,
+                           out, n: int, p: int, w: int,
+                           big_endian: bool) -> bool:
+    """Fused data-bytes -> 4-word values -> forward NTT (the streaming
+    writer's w4 fast path; ft253_192 is big_endian).  out: C-contiguous
+    (k, n, 4) uint64."""
+    lib = native()
+    if lib is None:
+        return False
+    tw, p4, n0inv = _w4_tables(p, n, w)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.pos_ntt_rows_from_bytes_w4(
+        data, len(data), cap, k, n_in, out.ctypes.data_as(u64p), n,
+        p4.ctypes.data_as(u64p), n0inv, tw.ctypes.data_as(u64p),
+        1 if big_endian else 0)
+    return rc == 0
+
+
+def scatter_hash_w4(src, dst_base_addr: int, stride_elems: int,
+                    hasher_handle, big_endian: bool) -> bool:
+    """Fused repr-convert + column-major scatter + per-column Blake3 absorb
+    of a (k, n, 4) u64 batch into a 32-byte-element .porenc region."""
+    lib = native()
+    if lib is None:
+        return False
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pos_scatter_hash_w4(src.ctypes.data_as(u64p), src.shape[0],
+                            src.shape[1], ctypes.cast(dst_base_addr, u8p),
+                            stride_elems, hasher_handle,
+                            1 if big_endian else 0)
+    return True
 
 
 def blake3_native(data: bytes) -> bytes | None:

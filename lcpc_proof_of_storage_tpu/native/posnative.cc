@@ -1245,6 +1245,28 @@ static inline void mont_mul_w4(const uint64_t* a, const uint64_t* b,
   }
 }
 
+// Gentleman-Sande-free DIT stage loop for 4-word rows (shared by the
+// limb-array and from-bytes entry points).
+static void ntt_run_stages_w4(uint64_t* x, int64_t n, int logn, int skip,
+                              const uint64_t* tw_mont, const uint64_t* p4,
+                              uint64_t n0inv) {
+  for (int st = skip; st < logn; st++) {
+    int64_t half = (int64_t)1 << st;
+    const uint64_t* tws = tw_mont + 4 * half;
+    for (int64_t j0 = 0; j0 < n; j0 += 2 * half) {
+      for (int64_t j = 0; j < half; j++) {
+        uint64_t* xu = x + 4 * (j0 + j);
+        uint64_t* xv = x + 4 * (j0 + j + half);
+        uint64_t v[4];
+        mont_mul_w4(xv, tws + 4 * j, p4, n0inv, v);
+        uint64_t u[4] = {xu[0], xu[1], xu[2], xu[3]};
+        add_mod_w4(u, v, p4, xu);
+        sub_mod_w4(u, v, p4, xv);
+      }
+    }
+  }
+}
+
 // Batched forward NTT over a 4-word field: in (k, n_in, 4) LE-word
 // coefficient rows -> out (k, n, 4) evaluation rows.  tw_mont is the
 // (n, 4) size-n-layout twiddle table ALREADY in the Montgomery domain
@@ -1281,21 +1303,7 @@ int pos_ntt_rows_w4(const uint64_t* in, int64_t k, int64_t n_in,
         for (int q = 0; q < 4; q++) x[4 * j + q] = 0;
       }
     }
-    for (int st = skip; st < logn; st++) {
-      int64_t half = (int64_t)1 << st;
-      const uint64_t* tws = tw_mont + 4 * half;
-      for (int64_t j0 = 0; j0 < n; j0 += 2 * half) {
-        for (int64_t j = 0; j < half; j++) {
-          uint64_t* xu = x + 4 * (j0 + j);
-          uint64_t* xv = x + 4 * (j0 + j + half);
-          uint64_t v[4];
-          mont_mul_w4(xv, tws + 4 * j, p4, n0inv, v);
-          uint64_t u[4] = {xu[0], xu[1], xu[2], xu[3]};
-          add_mod_w4(u, v, p4, xu);
-          sub_mod_w4(u, v, p4, xv);
-        }
-      }
-    }
+    ntt_run_stages_w4(x, n, logn, skip, tw_mont, p4, n0inv);
   }
   delete[] idx;
   return 0;
@@ -1317,6 +1325,106 @@ int pos_intt_rows_w4(const uint64_t* in, int64_t k, uint64_t* out,
     for (int q = 0; q < 4; q++) out[4 * i + q] = r[q];
   }
   return 0;
+}
+
+// Fused bytes -> 4-word values -> forward NTT for the PoS streaming writer
+// (the w4 analogue of pos_ntt_rows_from_bytes_u64): each element reads
+// `cap` data bytes (zero-padded past nbytes) as a big- or little-endian
+// integer (DataField::from_byte_vec; ft253_192 is BE) directly into its
+// bit-reversed NTT slot — no (k, n_per_row, 4) staging array, no python
+// limb round trip.  out: (k, n, 4) evaluation rows.
+int pos_ntt_rows_from_bytes_w4(const uint8_t* data, int64_t nbytes,
+                               int64_t cap, int64_t k, int64_t n_in,
+                               uint64_t* out, int64_t n, const uint64_t* p4,
+                               uint64_t n0inv, const uint64_t* tw_mont,
+                               int big_endian) {
+  if (n < 2 || (n & (n - 1)) || n_in > n || n_in < 1 || cap > 32 ||
+      (p4[3] >> 63))
+    return -1;
+  int logn = 0;
+  while ((int64_t)1 << logn < n) logn++;
+  int64_t np2 = 1;
+  while (np2 < n_in) np2 <<= 1;
+  int skip = 0;
+  while ((np2 << (skip + 1)) <= n) skip++;
+  int32_t* idx = new int32_t[n];
+  int64_t mask = ~(((int64_t)1 << skip) - 1);
+  for (int64_t j = 0; j < n; j++) {
+    int64_t jj = j & mask, r = 0;
+    for (int b = 0; b < logn; b++) r |= ((jj >> b) & 1) << (logn - 1 - b);
+    idx[j] = (int32_t)r;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t row = 0; row < k; row++) {
+    uint64_t* x = out + row * n * 4;
+    for (int64_t j = 0; j < n; j++) {
+      int32_t s = idx[j];
+      uint64_t* w = x + 4 * j;
+      w[0] = w[1] = w[2] = w[3] = 0;
+      if (s < n_in) {
+        int64_t off = (row * n_in + s) * cap;
+        int64_t take = nbytes - off;
+        if (take > cap) take = cap;
+        if (take > 0) {
+          const uint8_t* b = data + off;
+          if (big_endian) {
+            // the cap-byte chunk (zero-padded at the END) reads as one BE
+            // integer (data_bytes_to_limbs_np), so byte t sits at bit
+            // 8*(cap-1-t) even when the final chunk is truncated
+            for (int64_t t = 0; t < take; t++) {
+              int64_t bit = 8 * (cap - 1 - t);
+              w[bit >> 6] |= (uint64_t)b[t] << (bit & 63);
+            }
+          } else {
+            for (int64_t t = 0; t < take; t++)
+              w[t >> 3] |= (uint64_t)b[t] << (8 * (t & 7));
+          }
+        }
+      }
+    }
+    ntt_run_stages_w4(x, n, logn, skip, tw_mont, p4, n0inv);
+  }
+  delete[] idx;
+  return 0;
+}
+
+// Fused scatter + column hash for 4-word rows: convert each element to its
+// W=32-byte canonical repr (BE fields byte-reverse), memcpy the contiguous
+// per-column run into the mapped .porenc region, and absorb it into that
+// column's Blake3 state while cache-hot (the w4 analogue of
+// pos_scatter_hash_u64).  src: (k, n, 4); dst points at the first byte of
+// row `rows_written` of column 0; stride = row_capacity (elements).
+void pos_scatter_hash_w4(const uint64_t* src, int64_t k, int64_t n,
+                         uint8_t* dst, int64_t stride, PosColumnHasher* h,
+                         int big_endian) {
+  const int64_t B = 16;
+#pragma omp parallel
+  {
+    uint8_t* buf = new uint8_t[B * k * 32];
+#pragma omp for schedule(static)
+    for (int64_t j0 = 0; j0 < n; j0 += B) {
+      int64_t j1 = j0 + B < n ? j0 + B : n;
+      for (int64_t j = j0; j < j1; j++) {
+        uint8_t* col = buf + (j - j0) * k * 32;
+        for (int64_t i = 0; i < k; i++) {
+          const uint64_t* w = src + 4 * (i * n + j);
+          uint8_t* o = col + 32 * i;
+          if (big_endian) {
+            for (int q = 3; q >= 0; q--)
+              for (int b = 7; b >= 0; b--) *o++ = (uint8_t)(w[q] >> (8 * b));
+          } else {
+            memcpy(o, w, 32);
+          }
+        }
+      }
+      for (int64_t j = j0; j < j1; j++) {
+        const uint8_t* col = buf + (j - j0) * k * 32;
+        memcpy(dst + j * stride * 32, col, (size_t)k * 32);
+        if (h) colhash_update_one(&h->cols[j], col, (size_t)k * 32);
+      }
+    }
+    delete[] buf;
+  }
 }
 
 }  // extern "C"

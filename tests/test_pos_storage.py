@@ -313,3 +313,43 @@ def test_file_handler_left_multiply_and_poly_eval(tmp_path):
     v_comm = online.verifiable_polynomial_evaluation(comm, left, SPEC)
     assert v_disk == v_comm
     fh.delete_all_files()
+
+
+def test_ft253_w4_writer_bit_identical_to_generic(tmp_path):
+    """The r5 fused native w4 writer path (bytes -> Montgomery NTT ->
+    repr scatter+hash in C) produces byte-identical .porenc files and
+    digests to the generic numpy path, including a truncated final data
+    chunk (BE shift semantics)."""
+    import lcpc_proof_of_storage_tpu.pos.storage as st
+    from lcpc_proof_of_storage_tpu.fields.field import FT253_192
+
+    rnd = random.Random(5)
+    data = bytes(rnd.randrange(256) for _ in range(7777))   # ragged tail
+    n_pre, n_enc = 8, 32
+    raw = tmp_path / "g.porraw"
+    raw.write_bytes(data)
+
+    enc_fast = tmp_path / "g_fast.porenc"
+    meta_f, tree_f = EncodedFileWriter.convert_unencoded_file(
+        raw, enc_fast, None, None, n_pre, n_enc, FT253_192)
+
+    orig = st._host_w4_spec
+    st._host_w4_spec = lambda spec: False     # force the generic path
+    try:
+        st._encode_batch.cache_clear()
+        enc_slow = tmp_path / "g_slow.porenc"
+        meta_s, tree_s = EncodedFileWriter.convert_unencoded_file(
+            raw, enc_slow, None, None, n_pre, n_enc, FT253_192)
+    finally:
+        st._host_w4_spec = orig
+        st._encode_batch.cache_clear()
+
+    assert tree_f.root() == tree_s.root()
+    assert tree_f.digests == tree_s.digests
+    assert meta_f.rows_written == meta_s.rows_written
+    rows = meta_f.rows_written
+    fb = np.frombuffer(enc_fast.read_bytes(), np.uint8).reshape(n_enc, -1)
+    sb = np.frombuffer(enc_slow.read_bytes(), np.uint8).reshape(n_enc, -1)
+    W = FT253_192.repr_bytes
+    # compare the written rows (capacity padding beyond rows is unspecified)
+    assert np.array_equal(fb[:, : rows * W], sb[:, : rows * W])
