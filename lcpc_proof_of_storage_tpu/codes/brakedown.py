@@ -88,7 +88,19 @@ class BrakedownEncoding(LcEncoding):
         """rows: (batch, n_cols, L) buffer with the n_per_row coefficients in
         front (reference in-place semantics); output overwrites the buffer."""
         assert rows.shape[-2] == self.n_cols
+        if self.mesh is not None:
+            return self.encode_wide(rows)
         return self._enc.encode(rows[:, : self.n_per_row, :], operands)
+
+    def encode_wide(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """Mesh-sharded expander encode (round 5): every level's gather is
+        output-sharded over the mesh with all_gather'ed level inputs —
+        see ops/expander.py ExpanderEncoder.encode_wide for the sharding
+        argument.  Output width is n_cols rounded up to a mesh multiple;
+        parallel/wide.py slices the padding off before the Merkle build.
+        Reference graph encode: lcpc-brakedown-pc/src/encode.rs:36-110
+        (single-host rayon; no multi-node analogue exists there)."""
+        return self._enc.encode_wide(rows, self.mesh, self.mesh_axis)
 
     def device_operands(self):
         return self._enc.device_operands()

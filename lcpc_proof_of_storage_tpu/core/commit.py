@@ -344,8 +344,12 @@ def check_comm(comm: LcCommit, enc: LcEncoding) -> None:
     # comm.comm is None for a commit_streamed(keep_comm=False) commitment:
     # prove() then re-encodes on demand from the resident coefficients
     # (core/streamed.py open_columns_streamed)
+    # a wide Brakedown comm is zero-padded past the ragged n_cols to a
+    # mesh-shard multiple (ops/expander.py encode_wide); columns at or
+    # beyond n_cols are never opened
     ok = ((comm.comm is None
-           or comm.comm.shape[:2] == (comm.n_rows, comm.n_cols))
+           or (comm.comm.shape[0] == comm.n_rows
+               and comm.comm.shape[1] >= comm.n_cols))
           and comm.coeffs.shape[:2] == (comm.n_rows, comm.n_per_row)
           and comm.hashes_len == 2 * next_power_of_two(comm.n_cols) - 1
           and enc.dims_ok(comm.n_per_row, comm.n_cols))
@@ -600,19 +604,22 @@ def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
 
 
 def _collapse_kernel_fn(spec: FieldSpec):
-    """One-pass Pallas collapse (ops/collapse_pallas): no widened-product
-    HBM transient, in-kernel Barrett; uint16 limbs over the wire.  The
-    natural-layout variant (default) reads coeffs as stored — no packed
-    relayout at all."""
-    from ..ops.collapse_pallas import use_natural_kernel
-    return _collapse_kernel_fn_mode(spec, use_natural_kernel())
+    """One-pass collapse (no widened-product HBM transient): the natural
+    VPU Pallas kernel (default), the packed VPU kernel, or the int8 MXU
+    matmul path (ops/collapse_mxu.py), per LCPC_COLLAPSE_KERNEL."""
+    from ..ops.collapse_pallas import collapse_kernel_mode
+    return _collapse_kernel_fn_mode(spec, collapse_kernel_mode())
 
 
 @functools.lru_cache(maxsize=None)
-def _collapse_kernel_fn_mode(spec: FieldSpec, natural: bool):
+def _collapse_kernel_fn_mode(spec: FieldSpec, mode: str):
+    if mode == "mxu":
+        from ..ops.collapse_mxu import collapse_tensors_mxu
+        return jax.jit(lambda c, t: collapse_tensors_mxu(
+            c, t, spec).astype(jnp.uint16))
     from ..ops.collapse_pallas import (collapse_tensors,
                                        collapse_tensors_natural)
-    if natural:
+    if mode == "natural":
         return jax.jit(lambda c, t: collapse_tensors_natural(
             c, t, spec).astype(jnp.uint16))
     return jax.jit(lambda c, t: collapse_tensors(c, t, spec).astype(
@@ -642,10 +649,10 @@ def _kernel_collapse_cached(comm: "LcCommit", tensors: list[list[int]],
     (default) there is no packed operand at all: the kernel reads coeffs
     as stored and the first proof costs the same as every later one.
     Returns [(ints, limbs)...]."""
-    from ..ops.collapse_pallas import use_natural_kernel
+    from ..ops.collapse_pallas import collapse_kernel_mode
     lf = limb_field(spec)
     t = jnp.stack([lf.array(tv) for tv in tensors])
-    if use_natural_kernel():
+    if collapse_kernel_mode() != "packed":
         out = np.asarray(_collapse_kernel_fn(spec)(comm.coeffs, t),
                          dtype=np.uint32)
         return [(limbs_to_ints(out[i]), out[i]) for i in range(len(tensors))]

@@ -71,8 +71,11 @@ def wide_commit_from_matrix(coeff_mat: jnp.ndarray, dims, enc: LcEncoding):
             coeff_mat, NamedSharding(mesh, P(None, axis, None)))
     padded = jnp.zeros((n_rows, n_cols, coeff_mat.shape[-1]),
                        coeff_mat.dtype).at[:, :n_per_row, :].set(coeff_mat)
-    comm = enc.encode_wide(padded)                  # (n_rows, n_cols, L) sharded
-    leaves = wide_hash_columns(comm, enc.spec, mesh, axis)
+    comm = enc.encode_wide(padded)                  # (n_rows, >=n_cols, L) sharded
+    # Brakedown's ragged codeword length is padded up to a mesh multiple
+    # (zero columns at the end); hash shard-locally on the padded width and
+    # slice the pad digests off before the Merkle build.
+    leaves = wide_hash_columns(comm, enc.spec, mesh, axis)[:n_cols]
     hashes = merkle_hashes_from_leaves(leaves, n_cols)
     return LcCommit(coeffs=coeff_mat, comm=comm, n_rows=n_rows,
                     n_cols=n_cols, n_per_row=n_per_row, hashes=hashes)

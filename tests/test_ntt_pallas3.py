@@ -79,7 +79,7 @@ def test_v3_device_tables_threading(interpret_pallas):
 
 
 def test_v3_loop_bitrev_matches_oracle(interpret_pallas, monkeypatch):
-    """Compact fori_loop bitrev (nz > _NZ_UNROLL, the 2^27+ unlock) is
+    """Two-factor split bitrev (nz > _NZ_UNROLL, the 2^27+ unlock) is
     bit-identical to the static-unroll form and the oracle."""
     import lcpc_proof_of_storage_tpu.ops.ntt_pallas3 as n3
     spec = FT63
