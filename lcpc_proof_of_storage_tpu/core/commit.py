@@ -51,15 +51,39 @@ class LcColumn:
     at 2^20 a proof opens ~190 columns x 2048 rows, and eagerly building
     400k python ints dominated prove().  Both forms are accepted."""
 
-    __slots__ = ("_col", "_limbs", "_spec", "path")
+    __slots__ = ("_col", "_limbs", "_spec", "_path", "_sibs", "_sibi")
 
     def __init__(self, col: list[int] | None = None, path: list[bytes] = (),
-                 col_limbs: np.ndarray | None = None, spec: FieldSpec = None):
+                 col_limbs: np.ndarray | None = None, spec: FieldSpec = None,
+                 sibs: np.ndarray | None = None, sib_idx: int = 0):
         assert col is not None or (col_limbs is not None and spec is not None)
         self._col = col
         self._limbs = col_limbs
         self._spec = spec
-        self.path = list(path)
+        if sibs is not None:
+            # lazy path: backed by row sib_idx of a (k, depth, 32) packed
+            # sibling array (prove's device path gather / serde) — the
+            # ~100k per-proof bytes objects materialize only if something
+            # actually reads .path (fold/serde use the packed array)
+            self._path = None
+            self._sibs = sibs
+            self._sibi = sib_idx
+        else:
+            self._path = list(path)
+            self._sibs = None
+            self._sibi = 0
+
+    @property
+    def path(self) -> list[bytes]:
+        if self._path is None:
+            row = self._sibs[self._sibi]
+            self._path = [row[d].tobytes() for d in range(row.shape[0])]
+        return self._path
+
+    @path.setter
+    def path(self, value):
+        self._path = list(value)
+        self._sibs = None
 
     @property
     def col(self) -> list[int]:
@@ -549,7 +573,7 @@ def _fold_path(leaf: bytes, col_num: int, path: list[bytes]) -> bytes:
 
 
 def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
-                      paths: list[list[bytes]],
+                      paths: list[list[bytes]] | None,
                       sibs_packed: np.ndarray | None = None) -> list[bytes]:
     """_fold_path for many columns: the whole k x depth fold in ONE native
     call (pos_fold_paths) — the per-LEVEL batched blake3 staging cost
@@ -561,8 +585,16 @@ def _fold_paths_batch(leaf_bytes: list[bytes], col_nums: list[int],
     k = len(col_nums)
     if k == 0:
         return []
-    depth = len(paths[0])
-    if (any(len(p) != depth for p in paths)
+    if paths is None:
+        # packed-only call (lazy-path proofs): the (k, depth, 32) array is
+        # well-formed by construction, skip the malformed-proof scan
+        assert (sibs_packed is not None and sibs_packed.ndim == 3
+                and sibs_packed.shape[0] == k and sibs_packed.shape[2] == 32)
+        depth = sibs_packed.shape[1]
+    else:
+        depth = len(paths[0])
+    if paths is not None and (
+            any(len(p) != depth for p in paths)
             or any(len(e) != 32 for p in paths for e in p)):
         # malformed proofs (wrong path count OR non-32-byte elements) fold
         # serially: blake3 over the raw bytes mismatches the root and the
@@ -910,7 +942,7 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
             cols_arr = np.asarray(cols16).astype(np.uint32)  # (rows, k, L)
             sibs_np = np.asarray(sibs)
         with _phase("paths", "prove"):
-            paths = _paths_from_sibs(sibs_np, len(cols_to_open), depth)
+            # packed only — LcColumn.path materializes byte lists lazily
             paths_packed = _packed_from_sibs(sibs_np, len(cols_to_open),
                                              depth)
     else:
@@ -931,10 +963,17 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
         # columns (370 ms of the Brakedown 2^25 verify was np.stack over
         # 6593 col_limbs calls)
         packed = np.ascontiguousarray(cols_arr.transpose(1, 0, 2))
-        columns = [
-            LcColumn(col_limbs=packed[i], spec=spec, path=paths[i])
-            for i in range(len(cols_to_open))
-        ]
+        if paths_packed is not None:
+            columns = [
+                LcColumn(col_limbs=packed[i], spec=spec,
+                         sibs=paths_packed, sib_idx=i)
+                for i in range(len(cols_to_open))
+            ]
+        else:
+            columns = [
+                LcColumn(col_limbs=packed[i], spec=spec, path=paths[i])
+                for i in range(len(cols_to_open))
+            ]
 
     proof = LcEvalProof(
         n_cols=comm.n_cols,
@@ -1113,9 +1152,21 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
                                          [c.path for c in proof.columns], d)
         else:
             leaf_bytes = digests_to_bytes(np.asarray(leaves))
+            # the packed sibling array is only trusted while EVERY column
+            # is still lazily backed by it (c._path is None): a
+            # materialized .path list is authoritative (it may have been
+            # mutated — tamper tests rely on that), so any materialization
+            # forfeits the fast path for the whole fold
+            sp = getattr(proof, "_paths_packed", None)
+            packed_ok = (sp is not None and sp.ndim == 3
+                         and sp.shape[0] == len(proof.columns)
+                         and sp.shape[2] == 32
+                         and all(c._path is None and c._sibs is sp
+                                 for c in proof.columns))
             folded = _fold_paths_batch(
-                leaf_bytes, cols_to_open, [c.path for c in proof.columns],
-                sibs_packed=getattr(proof, "_paths_packed", None))
+                leaf_bytes, cols_to_open,
+                None if packed_ok else [c.path for c in proof.columns],
+                sibs_packed=sp if packed_ok else None)
     for k, (col_num, column) in enumerate(zip(cols_to_open, proof.columns)):
         rand_ok = all(rand_ok_arr[i][k] for i in range(n_degree))
         eval_ok = bool(eval_ok_arr[k])

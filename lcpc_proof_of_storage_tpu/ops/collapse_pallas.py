@@ -207,9 +207,10 @@ def _natural_kernel(spec: FieldSpec, in_dtype):
     """Grid cell: one npr lane tile for one (chunk, tensor) pair, reading
     the NATURAL (rows, npr, L) coefficient layout.
 
-    ng_ref: (1, 1) SMEM — number of 8-row groups with live rows this chunk
-    (rank 2: Mosaic rejects rank-1 SMEM blocks unless they span the whole
-    array, which a per-chunk (1,) block of a (C,) array does not at C > 1).
+    ng_ref: (1, C) SMEM, whole array in one block (Mosaic only accepts
+    SMEM blocks whose trailing dims are tile-multiples or span the whole
+    array) — per-chunk live 8-row group counts, indexed by the chunk
+    grid coordinate in-kernel.
     tv_ref: (1, 1, CB8, L) SMEM — tensor limbs as scalars (zero-padded).
     xg_ref: (CB8, TM, L) VMEM — coefficient rows for this tile, as stored.
     out_ref: (1, 1, L, TM) — canonical limbs of sum_i t[i]*C[i, tile].
@@ -249,7 +250,7 @@ def _natural_kernel(spec: FieldSpec, in_dtype):
                     acc = acc + jnp.concatenate(parts, axis=0)
             return acc
 
-        acc = jax.lax.fori_loop(0, ng_ref[0, 0], body,
+        acc = jax.lax.fori_loop(0, ng_ref[0, pl.program_id(0)], body,
                                 jnp.zeros((A, TM), U32))
         out_ref[0, 0] = _barrett_rows(acc, spec)
 
@@ -268,7 +269,7 @@ def _natural_call(spec: FieldSpec, C: int, CB8: int, T: int, npr_pad: int,
         out_shape=jax.ShapeDtypeStruct((C, T, L, npr_pad), jnp.uint32),
         grid=(C, npr_pad // TM, T),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda c, j, t: (c, 0),
+            pl.BlockSpec((1, C), lambda c, j, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, CB8, L), lambda c, j, t: (t, c, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -304,7 +305,7 @@ def collapse_tensors_natural(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
 
     # per-chunk live 8-row group counts + zero-padded tensor scalars
     ng_list = [max(0, -(-(min(rows - c * CB8, CB8)) // 8)) for c in range(C)]
-    ng = jnp.asarray(ng_list, jnp.int32).reshape(C, 1)
+    ng = jnp.asarray(ng_list, jnp.int32).reshape(1, C)
     tv = jnp.pad(t_limbs.astype(U32), ((0, 0), (0, C * CB8 - rows), (0, 0)))
     tv = tv.reshape(T, C, CB8, L)
 

@@ -150,9 +150,20 @@ def _write_column(buf: io.BytesIO, column, spec: FieldSpec) -> None:
             np.asarray(limbs, np.uint32).astype("<u2")).tobytes())
     else:
         write_field_vec(buf, column.col, spec)
-    write_u64(buf, len(column.path))
-    for p in column.path:
-        write_bytes(buf, p)
+    if column._path is None and column._sibs is not None:
+        # lazy path: wire bytes straight from the packed sibling row
+        # (u64 len prefix + 32 bytes per level, same as write_bytes)
+        row = column._sibs[column._sibi]
+        depth = row.shape[0]
+        write_u64(buf, depth)
+        out = np.empty((depth, 40), np.uint8)
+        out[:, :8] = np.frombuffer((32).to_bytes(8, "little"), np.uint8)
+        out[:, 8:] = row
+        buf.write(out.tobytes())
+    else:
+        write_u64(buf, len(column.path))
+        for p in column.path:
+            write_bytes(buf, p)
 
 
 def _read_column(buf: io.BytesIO, spec: FieldSpec, out_limbs=None):
@@ -264,6 +275,14 @@ def deserialize_proof(data: bytes, spec: FieldSpec):
             proof._paths_packed = np.frombuffer(
                 b"".join(p for c in columns for p in c.path),
                 np.uint8).reshape(len(columns), depth, 32)
+            # re-back every column lazily on the packed array (it was just
+            # built from these exact bytes): verify's fold then takes the
+            # packed fast path; any later .path mutation re-materializes
+            # and forfeits it (core/commit.py fold gate)
+            for i, c in enumerate(columns):
+                c._path = None
+                c._sibs = proof._paths_packed
+                c._sibi = i
     return proof
 
 
