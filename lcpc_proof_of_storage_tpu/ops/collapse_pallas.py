@@ -48,11 +48,14 @@ _MAX_ROWS = 2048
 
 
 def use_collapse_kernel(spec: FieldSpec) -> bool:
-    """TPU backend + even L (packed pairs) + not opted out."""
+    """TPU backend + even L (packed pairs) + not opted out.  The 'mxu'
+    mode is plain XLA (dot_general) and engages on ANY backend."""
     if os.environ.get("LCPC_COLLAPSE_KERNEL", "1") == "0":
         return False
     if spec.num_limbs16 % 2 != 0:
         return False
+    if collapse_kernel_mode() == "mxu":
+        return True
     try:
         backend = jax.default_backend()
     except RuntimeError:
