@@ -534,6 +534,53 @@ def _proto_mxu():
             os.environ.pop(k, None)
 
 
+@item("proto_final")
+def _proto_final():
+    """Protocol latencies with the full r5 stack (natural collapse +
+    lazy packed paths): ligero 2^20/2^21, brakedown 2^21."""
+    from bench_protocol import run_protocol
+    for r in run_protocol(log2s=[20, 21], code="ligero", iters=3):
+        emit({"item": "proto_final", **r})
+    for r in run_protocol(log2s=[21], code="brakedown", iters=3):
+        emit({"item": "proto_final", **r})
+
+
+@item("proto_final25")
+def _proto_final25():
+    """2^25 device-resident protocol latencies, full r5 stack."""
+    from bench_protocol import run_protocol
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    os.environ["LCPC_PROTO_KEEP_COMM"] = "device"
+    try:
+        for r in run_protocol(log2s=[25], code="ligero", iters=3):
+            emit({"item": "proto_final25", **r})
+        os.environ["LCPC_PROTO_STREAM_BYTES"] = "2e9"
+        for r in run_protocol(log2s=[25], code="brakedown", iters=3):
+            emit({"item": "proto_final25", **r})
+    finally:
+        for k in ("LCPC_STREAM_INFLIGHT", "LCPC_PROTO_KEEP_COMM",
+                  "LCPC_PROTO_STREAM_BYTES"):
+            os.environ.pop(k, None)
+
+
+@item("proto_profile_final")
+def _proto_profile_final():
+    """Phase decompositions with the full r5 stack."""
+    from profile_protocol import run_profile
+    emit({"item": "proto_profile_final", **run_profile(20, "ligero")})
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    try:
+        emit({"item": "proto_profile_final",
+              **run_profile(25, "brakedown", keep_comm="device")})
+    finally:
+        os.environ.pop("LCPC_STREAM_INFLIGHT", None)
+
+
+R5C = [
+    "r5_validate", "proto_final", "proto_final25", "proto_profile_final",
+]
+
+
 @item("bench29_host_r5")
 def _bench29_host_r5():
     """The honest host-coeff 2^29 row, now with the 256 MB chunked upload
@@ -562,6 +609,8 @@ if __name__ == "__main__":
         names = R5
     elif names == ["r5b"]:
         names = R5B
+    elif names == ["r5c"]:
+        names = R5C
     sys.argv = [sys.argv[0]] + names
     r4.RESULTS = os.environ["LCPC_CAMPAIGN_OUT"]
     r4.main()
