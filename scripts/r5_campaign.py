@@ -576,8 +576,74 @@ def _proto_profile_final():
         os.environ.pop("LCPC_STREAM_INFLIGHT", None)
 
 
+@item("ntt19_split")
+def _ntt19_split():
+    """The 2^27 commit (n_cols = 2^19) sits 4% behind the reference; its
+    NTT runs in the extended window (n1=2048, n2=256).  Probe the
+    alternate (n1=1024, n2=512) factorization + kernel A/B splits at the
+    realistic stream-batch shape (b=64) to locate the residual."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lcpc_proof_of_storage_tpu.fields.field import FT255
+    from lcpc_proof_of_storage_tpu.ops import ntt_pallas3 as p3
+
+    spec = FT255
+    L = spec.num_limbs16
+    n, b = 1 << 19, 64
+    nz = n >> 2
+    rng = np.random.default_rng(1)
+    xh = rng.integers(0, 1 << 16, (b, n, L), dtype=np.uint32)
+    xh[:, nz:, :] = 0
+    x = jnp.asarray(xh)
+
+    def clear():
+        for f in (p3._v3_tables_np, p3.v3_device_tables, p3._call_a,
+                  p3._call_b):
+            getattr(f, "cache_clear", lambda: None)()
+
+    for n1xl, n2xl, label in ((2048, 512, "default_2048x256"),
+                              (1024, 512, "alt_1024x512")):
+        p3._N1MAX_XL, p3._N2MAX_XL = n1xl, n2xl
+        clear()
+        t = p3._v3_tables_np(spec, n, nz)
+        tabs = p3.v3_device_tables(spec, n, n_nonzero=nz)
+        g = jax.jit(lambda a, tb: p3.ntt_pallas3(
+            a, spec, n_nonzero=nz, tables=tb).sum(dtype=jnp.uint32))
+        try:
+            s, c = _steady(g, x, tabs)
+            emit({"item": "ntt19_split", "label": label,
+                  "n1": t["n1"], "n2": t["n2"],
+                  "v3b_s": round(s, 4), "compile_s": round(c, 1)})
+        except Exception as e:  # noqa: BLE001
+            emit({"item": "ntt19_split", "label": label,
+                  "error": f"{type(e).__name__}: {e}"})
+    p3._N1MAX_XL, p3._N2MAX_XL = 2048, 512
+    clear()
+    # kernel A/B alone at the default split, for the roofline table
+    t = p3._v3_tables_np(spec, n, nz)
+    n1, n2 = t["n1"], t["n2"]
+    tabs = p3.v3_device_tables(spec, n, n_nonzero=nz)
+    xm = jnp.asarray(rng.integers(0, 1 << 16, (b, L, n2, n1),
+                                  dtype=np.uint32))
+    call_a = p3._call_a(spec, n1, n2, b, t["halves_a"], t["w_a"].shape[0],
+                        t["nf_a"])
+    ga = jax.jit(lambda v, w, lo, twd: call_a(
+        v, w, lo, twd).sum(dtype=jnp.uint32))
+    s_a, _ = _steady(ga, xm, tabs[0], tabs[1], tabs[2])
+    call_b = p3._call_b(spec, n1, n2, b, t["halves_b"], t["w_b"].shape[0],
+                        t["nf_b"])
+    gb = jax.jit(lambda v, w, lo: call_b(v, w, lo).sum(dtype=jnp.uint32))
+    s_b, _ = _steady(gb, xm, tabs[3], tabs[4])
+    emit({"item": "ntt19_split", "label": "kernels_default",
+          "n1": n1, "n2": n2,
+          "kernelA_s": round(s_a, 4), "kernelB_s": round(s_b, 4)})
+
+
 R5C = [
     "r5_validate", "proto_final", "proto_final25", "proto_profile_final",
+    "ntt19_split",
 ]
 
 
