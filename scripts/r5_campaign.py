@@ -642,8 +642,8 @@ def _ntt19_split():
 
 
 R5C = [
-    "r5_validate", "proto_final", "proto_final25", "proto_profile_final",
-    "ntt19_split",
+    "r5_validate", "proto_final", "proto_final25", "ntt19_split",
+    "proto_profile_final",
 ]
 
 
