@@ -641,9 +641,27 @@ def _ntt19_split():
           "kernelA_s": round(s_a, 4), "kernelB_s": round(s_b, 4)})
 
 
+@item("bench29_synth_cached")
+def _bench29_synth_cached():
+    """2^29 synthetic retry with the take-OUTSIDE kernel A variant
+    (NZMAX=64 < nz_rows=256): that kernel is in the persistent compile
+    cache from the r4 2^29 attempts, sidestepping the first-time remote
+    compile that ate the pass-2 synthetic run."""
+    os.environ["LCPC_PALLAS3_INKERNEL_NZMAX"] = "64"
+    os.environ["LCPC_BENCH_SYNTH"] = "1"
+    os.environ["LCPC_STREAM_INFLIGHT"] = "1"
+    try:
+        emit({"item": "bench29_synth_cached",
+              **r4._bench_with_kernel(29, 1, "v3")})
+    finally:
+        for k in ("LCPC_PALLAS3_INKERNEL_NZMAX", "LCPC_BENCH_SYNTH",
+                  "LCPC_STREAM_INFLIGHT"):
+            os.environ.pop(k, None)
+
+
 R5C = [
-    "r5_validate", "proto_final", "proto_final25", "ntt19_split",
-    "proto_profile_final",
+    "r5_validate", "proto_final", "bench29_synth_cached", "proto_final25",
+    "ntt19_split", "proto_profile_final",
 ]
 
 
