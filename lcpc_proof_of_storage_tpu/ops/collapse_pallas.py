@@ -214,6 +214,14 @@ def _natural_kernel(spec: FieldSpec, in_dtype):
     SMEM blocks whose trailing dims are tile-multiples or span the whole
     array) — per-chunk live 8-row group counts, indexed by the chunk
     grid coordinate in-kernel.
+    tv_ref: (T, C, CB8*L) SMEM, whole array in one block, indexed by the
+    (chunk, tensor) grid coordinates in-kernel.  FLAT trailing scalar
+    vector: a trailing (CB8, L) block gets lane-padded 16->128 words by
+    the SMEM allocator, which blows the 1 MB SMEM budget at CB8 = 2048
+    with double buffering (found by the r5 hardware validation); and a
+    per-(t, c) sub-block trips the rank-2 tile-divisibility rule, so the
+    whole array rides in one un-double-buffered block (caller guards the
+    total size).
     tv_ref: (1, 1, CB8, L) SMEM — tensor limbs as scalars (zero-padded).
     xg_ref: (CB8, TM, L) VMEM — coefficient rows for this tile, as stored.
     out_ref: (1, 1, L, TM) — canonical limbs of sum_i t[i]*C[i, tile].
@@ -236,7 +244,8 @@ def _natural_kernel(spec: FieldSpec, in_dtype):
             for r in range(8):
                 v = xt[r]                            # (L, TM) limb rows
                 for i in range(L):
-                    ti = tv_ref[0, 0, g * 8 + r, i]  # scalar < 2^16
+                    ti = tv_ref[pl.program_id(2), pl.program_id(0),
+                                (g * 8 + r) * L + i]        # scalar < 2^16
                     prod = ti * v                    # (L, TM) exact
                     lo = prod & MASK16
                     hi = prod >> 16
@@ -274,7 +283,7 @@ def _natural_call(spec: FieldSpec, C: int, CB8: int, T: int, npr_pad: int,
         in_specs=[
             pl.BlockSpec((1, C), lambda c, j, t: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, CB8, L), lambda c, j, t: (t, c, 0, 0),
+            pl.BlockSpec((T, C, CB8 * L), lambda c, j, t: (0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((CB8, TM, L), lambda c, j, t: (c, j, 0),
                          memory_space=pltpu.VMEM),
@@ -303,6 +312,11 @@ def collapse_tensors_natural(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
     T = t_limbs.shape[0]
     CB8 = -(-min(rows, _MAX_ROWS) // 8) * 8
     C = -(-rows // CB8)
+    if T * C * CB8 * L * 4 > (768 << 10):
+        # whole t-vector rides in SMEM (one un-buffered block): past
+        # ~768 KB fall back to the packed kernel, which tiles its
+        # t-operand through VMEM instead
+        return collapse_tensors(coeffs, t_limbs, spec)
     TM = min(_TM_NAT, 1 << max(7, (npr - 1).bit_length()))
     npr_pad = -(-npr // TM) * TM
 
@@ -310,7 +324,7 @@ def collapse_tensors_natural(coeffs: jnp.ndarray, t_limbs: jnp.ndarray,
     ng_list = [max(0, -(-(min(rows - c * CB8, CB8)) // 8)) for c in range(C)]
     ng = jnp.asarray(ng_list, jnp.int32).reshape(1, C)
     tv = jnp.pad(t_limbs.astype(U32), ((0, 0), (0, C * CB8 - rows), (0, 0)))
-    tv = tv.reshape(T, C, CB8, L)
+    tv = tv.reshape(T, C, CB8 * L)
 
     out = _natural_call(spec, C, CB8, T, npr_pad, TM,
                         jnp.dtype(coeffs.dtype).name)(ng, tv, coeffs)
